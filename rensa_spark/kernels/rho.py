@@ -1,0 +1,192 @@
+"""Rho multi-probe sketch kernel — O(tokens) alternative to full MinHash.
+
+Reference (/root/reference/src/rminhash/rho.rs):
+- mixer chain: mixed0 = splitmix64(h ^ seed ^ SALT[0]);
+  mixed_{k+1} = splitmix64(mixed_k ^ SALT[(k+1) & 3])  (rho.rs:509-533)
+- bucket = mixed % num_perm (mask when power of two, rho.rs:495-506),
+  value  = mixed >> 32, scatter-min into the row; empty buckets stay
+  u32::MAX (EMPTY_BUCKET, src/rminhash.rs:86)
+- deterministic token-budget subsampling via MidpointSampler
+  (rho.rs:297-341) with the adaptive 3-tier rule (rho.rs:108-130)
+- sidecar: per-row non-empty count + saturated source token count
+  (rho.rs:1118-1120), and for sparse rows (non_empty < threshold,
+  rho.rs:132-144) an 8-slot exact-MinHash verify signature over the
+  *sampled* hashes (rho.rs:466-491, 587-613)
+- optional circular densify (rho.rs:535-577), off by default.
+
+Vectorized as: midpoint sampling by closed-form index arithmetic, four
+splitmix64 passes over all (row, token) pairs, and a single
+np.minimum.at scatter per probe. Deterministic regardless of Spark
+partitioning — sampling is a pure function of each row's token count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from rensa_spark.config import (
+    DEFAULT_RHO_SHORT_FULL_TOKEN_THRESHOLD,
+    EMPTY_BUCKET,
+    RensaConfig,
+)
+from rensa_spark.kernels.prng import splitmix64_np
+
+U16 = np.uint16
+U32 = np.uint32
+U64 = np.uint64
+
+RHO_SALTS = np.array(
+    [0x517CC1B727220A95, 0x6EED0E9DA4D94A4F, 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9],
+    dtype=U64,
+)  # rho.rs:517-522
+_SEED1 = np.uint64(0x243F6A8885A308D3)
+_PHI = np.uint64(0x9E3779B97F4A7C15)
+
+
+@dataclass
+class RhoMatrix:
+    digest: np.ndarray  # (rows, num_perm) uint32
+    non_empty: np.ndarray  # (rows,) uint16
+    source_token_counts: np.ndarray  # (rows,) uint16 (saturated)
+    sparse: np.ndarray  # (rows,) bool
+    sparse_sigs: np.ndarray  # (rows, sparse_verify_perm) uint32 (MAX if not sparse)
+
+
+def _midpoint_indices(totals: np.ndarray, limit: int) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form MidpointSampler indices for many rows at once.
+
+    For a row with ``total`` tokens sampled down to ``limit``:
+    index_j = q0 + j*step_div + (r0 + j*step_mod) // denom, which reproduces
+    the reference's incremental carry loop (rho.rs:297-341).
+    Returns (row_repeat_index, flat_token_index_within_row).
+    """
+    totals = totals.astype(np.int64)
+    denom = 2 * limit
+    total_div = totals // limit
+    total_rem = totals - total_div * limit
+    q0 = total_div // 2
+    r0 = np.where(total_div % 2 == 0, total_rem, limit + total_rem)
+    j = np.arange(limit, dtype=np.int64)
+    idx = (
+        q0[:, None]
+        + j[None, :] * total_div[:, None]
+        + (r0[:, None] + j[None, :] * (2 * total_rem)[:, None]) // denom
+    )
+    row_rep = np.repeat(np.arange(len(totals), dtype=np.int64), limit)
+    return row_rep, idx.reshape(-1)
+
+
+def _select_sampled(
+    flat: np.ndarray, offsets: np.ndarray, cfg: RensaConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Apply the adaptive token budget; return (sampled_flat, sampled_offsets,
+    source_counts). Sampled layout keeps one contiguous segment per row."""
+    counts = np.diff(offsets)
+    rows = len(counts)
+    budgets = np.zeros(rows, dtype=np.int64)  # 0 == no budget
+    if cfg.rho_token_budget_overridden:
+        b = cfg.default_token_budget
+        budgets[:] = 0 if b is None else b
+    else:
+        default_b = cfg.default_token_budget or 0
+        budgets = np.where(
+            counts <= DEFAULT_RHO_SHORT_FULL_TOKEN_THRESHOLD,
+            0,
+            np.where(
+                counts <= cfg.rho_medium_token_threshold,
+                cfg.rho_medium_token_budget,
+                default_b,
+            ),
+        )
+    need = (budgets > 0) & (counts > budgets)
+    if not need.any():
+        return flat, offsets.astype(np.int64), counts
+    out_counts = np.where(need, budgets, counts)
+    out_offsets = np.zeros(rows + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_offsets[1:])
+    out_flat = np.empty(out_offsets[-1], dtype=U64)
+    # rows kept whole: gather ranges
+    keep_rows = np.nonzero(~need)[0]
+    for r in keep_rows:  # cheap: contiguous copies; vectorized below for sampled
+        out_flat[out_offsets[r] : out_offsets[r + 1]] = flat[offsets[r] : offsets[r + 1]]
+    # sampled rows, grouped by budget value (at most 2 distinct budgets)
+    for limit in np.unique(budgets[need]):
+        sel = np.nonzero(need & (budgets == limit))[0]
+        row_rep, within = _midpoint_indices(counts[sel], int(limit))
+        src = offsets[sel][row_rep] + within
+        dst = out_offsets[sel][row_rep] + np.tile(
+            np.arange(int(limit), dtype=np.int64), len(sel)
+        )
+        out_flat[dst] = flat[src]
+    return out_flat, out_offsets, counts
+
+
+def rho_matrix(
+    flat_hashes: np.ndarray, offsets: np.ndarray, cfg: RensaConfig
+) -> RhoMatrix:
+    offsets = np.asarray(offsets, dtype=np.int64)
+    flat = np.ascontiguousarray(flat_hashes, dtype=U64)
+    rows = len(offsets) - 1
+    num_perm = cfg.num_perm
+    sampled, s_offsets, source_counts = _select_sampled(flat, offsets, cfg)
+    s_counts = np.diff(s_offsets)
+    row_of_token = np.repeat(np.arange(rows, dtype=np.int64), s_counts)
+
+    digest = np.full(rows * num_perm, EMPTY_BUCKET, dtype=U32)
+    if len(sampled):
+        probes_per_row = np.full(rows, cfg.effective_probes(0), dtype=np.int64)
+        if cfg.rho_adaptive_probes:
+            probes_per_row = np.array(
+                [cfg.effective_probes(int(c)) for c in source_counts], dtype=np.int64
+            )
+        probes_of_token = probes_per_row[row_of_token]
+        is_pow2 = (num_perm & (num_perm - 1)) == 0
+        mixed = splitmix64_np(sampled ^ U64(cfg.seed & 0xFFFFFFFFFFFFFFFF) ^ RHO_SALTS[0])
+        max_probes = int(probes_per_row.max())
+        for probe in range(max_probes):
+            active = probes_of_token > probe
+            m = mixed[active] if not active.all() else mixed
+            rt = row_of_token[active] if not active.all() else row_of_token
+            if is_pow2:
+                bucket = (m & U64(num_perm - 1)).astype(np.int64)
+            else:
+                bucket = (m % U64(num_perm)).astype(np.int64)
+            values = (m >> U64(32)).astype(U32)
+            np.minimum.at(digest, rt * num_perm + bucket, values)
+            if probe + 1 < max_probes:
+                mixed = splitmix64_np(mixed ^ RHO_SALTS[(probe + 1) & 3])
+    digest = digest.reshape(rows, num_perm)
+    if cfg.rho_densify:
+        from rensa_spark.oracle.pyrensa import rho_densify_py
+
+        for r in range(rows):  # densify is off by default; parity path only
+            row = digest[r].tolist()
+            rho_densify_py(row, cfg.seed)
+            digest[r] = row
+
+    non_empty_counts = (digest != U32(EMPTY_BUCKET)).sum(axis=1)
+    sparse = non_empty_counts < cfg.sparse_occupancy_threshold
+    sv_perm = cfg.sparse_verify_perm_clamped
+    sparse_sigs = np.full((rows, sv_perm), EMPTY_BUCKET, dtype=U32)
+    sparse_rows = np.nonzero(sparse)[0]
+    if sv_perm > 0 and len(sparse_rows):
+        for i in range(sv_perm):
+            with np.errstate(over="ignore"):
+                perm_seed = splitmix64_np(
+                    np.array([cfg.seed ^ int(_SEED1) ^ ((i * int(_PHI)) & 0xFFFFFFFFFFFFFFFF)], dtype=U64)
+                )[0]
+            for r in sparse_rows:
+                seg = sampled[s_offsets[r] : s_offsets[r + 1]]
+                if len(seg) == 0:
+                    continue
+                v = (splitmix64_np(seg ^ perm_seed) >> U64(32)).astype(U32)
+                sparse_sigs[r, i] = v.min()
+    return RhoMatrix(
+        digest=digest,
+        non_empty=np.minimum(non_empty_counts, 0xFFFF).astype(U16),
+        source_token_counts=np.minimum(source_counts, 0xFFFF).astype(U16),
+        sparse=sparse,
+        sparse_sigs=sparse_sigs,
+    )

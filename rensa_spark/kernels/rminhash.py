@@ -1,0 +1,76 @@
+"""R-MinHash digest-matrix kernel, vectorized over Arrow-batch layouts.
+
+Reference semantics: sig[i] = min over token hashes h of
+((a[i] * h + b[i]) mod 2^64) >> 32, as u32; empty rows stay u32::MAX
+(/root/reference/src/utils.rs:188-191, src/rminhash.rs:296-371,
+src/rminhash/pipeline.rs:370-623). The reference's chunking / worker-thread /
+SIMD machinery is replaced by numpy broadcasting over the flat
+(values, offsets) layout that pyarrow ListArrays already provide —
+the exact layout its flat path validates at src/rminhash/pipeline.rs:273-292.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U32 = np.uint32
+U64 = np.uint64
+U32_MAX = np.uint32(0xFFFFFFFF)
+
+# cap the (tokens x num_perm) intermediate at ~64 MiB per slab
+_SLAB_ELEMS = 8 << 20
+
+
+def rminhash_matrix(
+    flat_hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(rows, num_perm) uint32 digest matrix from flat token hashes + offsets.
+
+    offsets has rows+1 entries, starts at 0, non-decreasing, ends at
+    len(flat_hashes) — same contract as the reference flat path
+    (src/rminhash/py.rs:291-316).
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    flat = np.ascontiguousarray(flat_hashes, dtype=U64)
+    rows = len(offsets) - 1
+    num_perm = len(a)
+    out = np.full((rows, num_perm), U32_MAX, dtype=U32)
+    n = len(flat)
+    if rows == 0 or n == 0:
+        return out
+    if offsets[0] != 0 or offsets[-1] != n or np.any(np.diff(offsets) < 0):
+        raise ValueError(
+            "row_offsets must start at 0, be non-decreasing, and end at token_hashes length"
+        )
+
+    # process row-ranges so the permuted slab stays in cache-friendly memory
+    rows_per_slab_tokens = max(_SLAB_ELEMS // max(num_perm, 1), 1)
+    row_start = 0
+    while row_start < rows:
+        row_end = row_start + 1
+        while (
+            row_end < rows
+            and offsets[row_end + 1] - offsets[row_start] <= rows_per_slab_tokens
+        ):
+            row_end += 1
+        t0, t1 = int(offsets[row_start]), int(offsets[row_end])
+        if t1 > t0:
+            h = flat[t0:t1]
+            with np.errstate(over="ignore"):
+                permuted = ((a[None, :] * h[:, None] + b[None, :]) >> U64(32)).astype(U32)
+            seg = offsets[row_start : row_end + 1] - t0
+            starts = seg[:-1]
+            valid = seg[1:] > starts  # rows with >=1 token
+            # clamp starts of empty trailing rows in-bounds; their (wrong)
+            # reduceat output is masked out by `valid`
+            safe_starts = np.minimum(starts, max(t1 - t0 - 1, 0))
+            mins = np.minimum.reduceat(permuted, safe_starts, axis=0)
+            slab = out[row_start:row_end]
+            slab[valid] = mins[valid]
+        row_start = row_end
+    return out
+
+
+def jaccard_matrix(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Pairwise (row-aligned) equal-slot fraction (src/rminhash.rs:266-294)."""
+    return (sig_a == sig_b).mean(axis=1)
