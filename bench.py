@@ -1,0 +1,125 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus synthetic-corpus
+dedup throughput (signatures/sec + end-to-end one-shot flags rows/sec — the
+reference's benchmark metric, /root/reference/benchmarks/full_benchmark.py).
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "sigs_per_sec": ..., "dedup_rows_per_sec": ...}
+
+Scaling-efficiency evidence (N vs 4N cores) lives in tools/scaling_bench.py
+-> BENCH/BASELINE.md (too slow to run per-round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_ROWS = int(os.environ.get("BENCH_SYNTH_ROWS", "200000"))
+
+
+def _synth_corpus_path() -> str:
+    """Generate (once) the deterministic caption corpus used for throughput."""
+    import pandas as pd
+
+    path = f"/tmp/rensa_bench_corpus_{SYNTH_ROWS}.parquet"
+    if not os.path.exists(path):
+        from rensa_spark.sources.synthetic import generate_corpus
+
+        pdf = generate_corpus(SYNTH_ROWS, seed=12345, with_images=False)
+        pdf[["image_id", "caption"]].to_parquet(path, index=False)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from rensa_spark.config import RensaConfig
+    from rensa_spark.functions.udfs import rminhash_sig_udf
+    from rensa_spark.operators.dedup import dup_flags
+    from rensa_spark.session import get_spark
+
+    cfg = RensaConfig(num_perm=128, seed=12345, threshold=0.8, num_bands=8, ngram_size=3)
+    corpus_path = _synth_corpus_path()
+
+    spark = get_spark(
+        app_name="rensa-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+    )
+    timings: dict[str, float] = {}
+
+    # warm the Python UDF workers (imports of pandas/numpy/rensa_spark per
+    # worker process dominate otherwise; a real long-running cluster
+    # amortizes this once per executor)
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _warm_fn(texts):
+        import rensa_spark.kernels.rminhash  # noqa: F401 — preload modules
+
+        return texts.str.len().astype("int64")
+
+    _warm = pandas_udf(_warm_fn, LongType(), PandasUDFType.SCALAR)
+
+    warm_df = spark.range(0, CPUS * 4, 1, CPUS * 4).withColumn(
+        "t", F.lit("warm up the executor python workers")
+    )
+    warm_df.select(_warm("t")).write.format("noop").mode("overwrite").save()
+
+    # headline driver queries at SF_DIR
+    for name, fn in em.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # the synthetic corpus is one ~35MB parquet file = 1 input split; spread
+    # it across the executor threads like a real multi-file table would be
+    corpus = spark.read.parquet(corpus_path).repartition(CPUS * 3).cache()
+    n_rows = corpus.count()
+
+    # signatures/sec: sketch only (num_perm=128 u32 slots per row)
+    sig = rminhash_sig_udf(cfg)
+    t0 = time.perf_counter()
+    corpus.select(F.aggregate(sig("caption"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("s")) \
+        .write.format("noop").mode("overwrite").save()
+    sketch_sec = time.perf_counter() - t0
+    timings["synthetic_sketch_200k"] = round(sketch_sec, 3)
+
+    # end-to-end one-shot dup flags (the reference benchmark lane)
+    t0 = time.perf_counter()
+    dup_flags(corpus, cfg, "image_id", "caption").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dedup_sec = time.perf_counter() - t0
+    timings["synthetic_oneshot_dedup_200k"] = round(dedup_sec, 3)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "rensa_spark dedup suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "synthetic_rows": n_rows,
+                "sigs_per_sec": round(n_rows / sketch_sec, 1),
+                "dedup_rows_per_sec": round(n_rows / dedup_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,10 +56,10 @@ def cminhash_matrix64(
             seg = offsets[row_start : row_end + 1] - t0
             starts = seg[:-1]
             valid = seg[1:] > starts
-            safe_starts = np.minimum(starts, max(t1 - t0 - 1, 0))
-            mins = np.minimum.reduceat(values, safe_starts, axis=0)
+            # see rminhash.py: reduceat over non-empty rows only
+            mins = np.minimum.reduceat(values, starts[valid], axis=0)
             slab = out[row_start:row_end]
-            slab[valid] = mins[valid]
+            slab[valid] = mins
         row_start = row_end
     return out
 

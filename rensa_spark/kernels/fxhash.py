@@ -104,6 +104,34 @@ def _finalize(compressed: np.ndarray) -> np.ndarray:
     return (h << U64(ROTATE)) | (h >> U64(64 - ROTATE))
 
 
+def fxhash64_ranges(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """calculate_hash_fast over (start, length) slices of one uint8 buffer.
+
+    This is the zero-copy hot path: shingle bytes are never materialized as
+    Python objects — callers lay out each document's space-joined token blob
+    once and describe shingles as ranges into it.
+    """
+    n = len(starts)
+    out = np.empty(n, dtype=U64)
+    if n == 0:
+        return out
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    empty_hash = None
+    for length in np.unique(lengths):
+        sel = np.nonzero(lengths == length)[0]
+        if length == 0:
+            if empty_hash is None:
+                empty_hash = _finalize(
+                    _multiply_mix(np.array([SEED1], dtype=U64), np.array([SEED2], dtype=U64))
+                )[0]
+            out[sel] = empty_hash
+            continue
+        idx = starts[sel][:, None] + np.arange(length, dtype=np.int64)[None, :]
+        out[sel] = _finalize(_hash_bytes_fixed_len(buf[idx]))
+    return out
+
+
 def fxhash64(tokens: Sequence[bytes]) -> np.ndarray:
     """calculate_hash_fast over a batch of byte strings -> uint64[n].
 

@@ -1,0 +1,187 @@
+"""End-to-end dedup pipelines composing sketch -> bands -> flags/pairs ->
+clusters, plus the order-dependent add-if-unique emulation.
+
+Three duplicate definitions coexist in the reference (SURVEY.md §2.5 note);
+all three are implemented here:
+
+1. one-shot band-collision flags (benchmark metric) -> ``dup_flags``
+2. sequential add-if-unique (RMinHashDeduplicator) -> ``add_if_unique``
+3. pairwise verify + min-id clustering (README recipe, generalized to
+   connected components per the north rule) -> ``dedup_clusters``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rensa_spark.config import RensaConfig
+from rensa_spark.functions.udfs import (
+    jaccard_udf,
+    rho_sketch_udf,
+    rminhash_bands_udf,
+    rminhash_sig_udf,
+)
+from rensa_spark.operators.cc import connected_components, survivors
+from rensa_spark.operators.lsh import candidate_pairs, one_shot_dup_flags
+
+
+def sketch_rminhash(
+    df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str, with_sig: bool = True
+) -> DataFrame:
+    """Add `sig` (and `bands`) columns. Hot path: only `bands` when the
+    signature itself is not needed downstream (flags-only pipelines)."""
+    bands = rminhash_bands_udf(cfg)
+    out = df.withColumn("bands", bands(F.col(text_col)))
+    if with_sig:
+        sig = rminhash_sig_udf(cfg)
+        out = out.withColumn("sig", sig(F.col(text_col)))
+    return out
+
+
+def sketch_rho(df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str) -> DataFrame:
+    sk = rho_sketch_udf(cfg)
+    return df.withColumn("_rho", sk(F.col(text_col))).select("*", "_rho.*").drop("_rho")
+
+
+def dup_flags(df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str) -> DataFrame:
+    """Flagship: one-shot duplicate flags over R-MinHash bands
+    (= query_duplicate_flags_matrix_one_shot fast path on a matrix built
+    from word-{ngram}-shingled text, the reference benchmark's accuracy
+    metric, benchmarks/full_benchmark.py:542-547). Fused mapInPandas sketch
+    -> pre-exploded band rows -> window bucket count -> per-key max."""
+    from rensa_spark.operators.lsh import one_shot_flags_from_bands
+    from rensa_spark.operators.sketch import rminhash_band_rows
+
+    return one_shot_flags_from_bands(rminhash_band_rows(df, cfg, key_col, text_col))
+
+
+def verified_pairs(
+    sketched: DataFrame, cfg: RensaConfig, key_col: str = "key"
+) -> DataFrame:
+    """Candidate pairs from band co-membership, verified by signature-slot
+    jaccard >= threshold (README.md:100-122 recipe). Input needs `sig` and
+    `bands` columns. Signatures are re-joined to pairs rather than carried
+    through the band explode (keeps the wide column out of the band shuffle)."""
+    pairs = candidate_pairs(
+        sketched.select(F.col(key_col).alias("key"), "bands"),
+        "key",
+        hot_bucket_cap=cfg.hot_bucket_cap,
+    )
+    sigs = sketched.select(F.col(key_col).alias("key"), "sig")
+    jac = jaccard_udf(cfg)
+    return (
+        pairs.join(sigs.withColumnRenamed("key", "a").withColumnRenamed("sig", "sig_a"), "a")
+        .join(sigs.withColumnRenamed("key", "b").withColumnRenamed("sig", "sig_b"), "b")
+        .withColumn("sim", jac("sig_a", "sig_b"))
+        .select("a", "b", "sim")
+        .filter(F.col("sim") >= cfg.threshold)
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str
+) -> DataFrame:
+    """(key, cluster_id, is_survivor) — verified-pair connected components
+    with min-key survivor selection."""
+    sk = sketch_rminhash(
+        df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text")),
+        cfg,
+        "key",
+        "text",
+    )
+    pairs = verified_pairs(sk, cfg)
+    clusters = connected_components(pairs)
+    return survivors(clusters, sk.select("key"))
+
+
+def add_if_unique(
+    df: DataFrame,
+    cfg: RensaConfig,
+    key_col: str,
+    text_col: str,
+    order_col: str | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Batch emulation of RMinHashDeduplicator.add_pairs with use_lsh=True
+    (src/inline_dedup/rminhash.rs:233-299): process rows in ``order_col``
+    order; keep a row iff no *earlier kept* row shares >=1 LSH band AND has
+    signature jaccard >= threshold.
+
+    Exact equivalence argument: a kept item's bands enter the index exactly
+    once and never change, so "LSH candidate at add time" == static band
+    co-membership with an earlier kept row. kept(i) is therefore the
+    lexicographically-greedy maximal independent set of the DAG of verified
+    conflict edges (j -> i for j earlier), computed here by frontier rounds:
+    a row is decidable once all its earlier conflict-neighbors are decided;
+    decided-kept iff none of them was kept. Duplicate chains are short
+    (SURVEY.md §7 hard part 2), so rounds ~= chain length.
+
+    Returns (key, kept boolean).
+    """
+    order_col = order_col or key_col
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("ord"),
+        F.col(text_col).alias("text"),
+    )
+    sk = sketch_rminhash(base, cfg, "key", "text")
+    pairs = verified_pairs(sk, cfg)  # a < b by key; re-orient by ord
+    ords = base.select("key", "ord")
+    edges = (
+        pairs.join(ords.withColumnRenamed("key", "a").withColumnRenamed("ord", "ord_a"), "a")
+        .join(ords.withColumnRenamed("key", "b").withColumnRenamed("ord", "ord_b"), "b")
+        .select(
+            F.when(F.col("ord_a") <= F.col("ord_b"), F.col("a")).otherwise(F.col("b")).alias("early"),
+            F.when(F.col("ord_a") <= F.col("ord_b"), F.col("b")).otherwise(F.col("a")).alias("late"),
+        )
+    ).localCheckpoint(eager=True)
+
+    # state: keys with decided status; start with rows having no earlier conflicts
+    undecided = base.select("key")
+    kept = undecided.limit(0).withColumn("kept", F.lit(True)).select("key", "kept")
+    for _ in range(max_rounds):
+        if not undecided.take(1):
+            break
+        live_edges = edges.join(undecided.withColumnRenamed("key", "late"), "late", "leftsemi")
+        blocked = (
+            live_edges.join(undecided.withColumnRenamed("key", "early"), "early", "leftsemi")
+            .select(F.col("late").alias("key"))
+            .distinct()
+        )
+        frontier = undecided.exceptAll(blocked)
+        kept_early = kept.filter("kept").select(F.col("key").alias("early"))
+        frontier_dup = (
+            edges.join(kept_early, "early", "leftsemi")
+            .select(F.col("late").alias("key"))
+            .join(frontier, "key", "leftsemi")
+            .distinct()
+        )
+        frontier_kept = frontier.exceptAll(frontier_dup)
+        newly = frontier_kept.withColumn("kept", F.lit(True)).unionByName(
+            frontier_dup.withColumn("kept", F.lit(False))
+        )
+        kept = kept.unionByName(newly).localCheckpoint(eager=True)
+        undecided = undecided.exceptAll(frontier).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"add_if_unique did not converge in {max_rounds} rounds; "
+            "conflict chains longer than expected"
+        )
+    return base.select("key").join(kept, "key", "left").select(
+        "key", F.coalesce("kept", F.lit(True)).alias("kept")
+    )
+
+
+def exact_dup_flags(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by full-text equality (hash groupBy): (key, is_dup,
+    group_size, keep) where keep = min key of each text group."""
+    w_cnt = df.groupBy(text_col).agg(
+        F.count(F.lit(1)).alias("group_size"), F.min(key_col).alias("keep")
+    )
+    return df.join(w_cnt, text_col).select(
+        F.col(key_col).alias("key"),
+        (F.col("group_size") >= 2).alias("is_dup"),
+        "group_size",
+        (F.col(key_col) == F.col("keep")).alias("is_survivor"),
+    )

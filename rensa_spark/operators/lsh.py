@@ -1,0 +1,289 @@
+"""Distributed LSH banding + one-shot duplicate flagging.
+
+Reproduces ``RMinHashLSH.query_duplicate_flags_matrix_one_shot``
+(/root/reference/src/lsh/one_shot.rs) as pure DataFrame algebra:
+
+- fast path (non-rho matrices — the reference benchmark path,
+  benchmarks/full_benchmark.py:542-547): a row is flagged iff it shares at
+  least one band hash with another row (one_shot.rs:294-332). Order-
+  insensitive, so the hash-map scan becomes groupBy(band_idx, band_hash) +
+  bucket-size>=2 + semi-join. The ONE shuffle is keyed by (band_idx,
+  band_hash); partial aggregation (map-side combine) makes hot bands cheap
+  because only counts move, never member lists.
+
+- refined rho path (one_shot.rs:78-185): sparse rows (non_empty below the
+  occupancy threshold) need >=2 band matches and pass an 8-slot verify
+  signature check against up to 16 candidates in row order; rows with zero
+  folded-band matches and 17..=96 tokens get a second chance over unfolded
+  bands (>=2 matches). The row-order candidate cap means only the first 17
+  bucket members (by row id) can influence any decision, so buckets are
+  never fully materialized: non-sparse members are decided by bucket size
+  alone, and only buckets containing sparse members ship their first 17
+  members through a window + collect.
+
+Skew note (north rule): degenerate content (e.g. thousands of empty
+captions) makes one giant band bucket. The count-only aggregation handles it
+(counts combine map-side); the sparse-member path bounds work per bucket at
+17 members via row_number; AQE skew-join splitting covers the semi-joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from rensa_spark.config import RensaConfig
+
+
+def explode_bands(df: DataFrame, key_col: str, bands_col: str = "bands") -> DataFrame:
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(bands_col).alias("band_idx", "band_hash"),
+    )
+
+
+def one_shot_flags_from_bands(bands: DataFrame) -> DataFrame:
+    """(key, band_idx, band_hash) rows -> (key, is_dup).
+
+    is_dup(key) <=> exists band b where >=2 rows share key's band-b hash
+    (src/lsh/one_shot.rs:294-332 with empty index).
+
+    Plan shape: exactly TWO shuffles — one on (band_idx, band_hash) whose
+    window count computes bucket sizes in place (no join back), one on key
+    for the final max. Hot band buckets cost a linear count within their
+    partition; nothing per-bucket is ever collected."""
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
+        bands.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+        .groupBy("key")
+        .agg(F.max(F.col("bucket_size") >= 2).alias("is_dup"))
+    )
+
+
+def one_shot_dup_flags(
+    df: DataFrame, key_col: str, bands_col: str = "bands"
+) -> DataFrame:
+    """Array-column variant of :func:`one_shot_flags_from_bands` for inputs
+    that carry a precomputed ``bands`` array (e.g. a checkpointed signature
+    table)."""
+    return one_shot_flags_from_bands(explode_bands(df, key_col, bands_col))
+
+
+def _sparse_match_udf(cfg: RensaConfig):
+    """Per sparse bucket-member decision against the bucket's first
+    max_candidates+1 members in row order (src/lsh/one_shot.rs:387-433)."""
+    thr = cfg.rho_sparse_verify_threshold
+    cap = cfg.rho_sparse_verify_max_candidates
+
+    @pandas_udf(BooleanType())
+    def _udf(key: pd.Series, sig: pd.Series, cands: pd.Series) -> pd.Series:
+        out = np.zeros(len(key), dtype=bool)
+        for i in range(len(key)):
+            me = key.iloc[i]
+            my_sig = sig.iloc[i]
+            checked = 0
+            matched = False
+            for cand in cands.iloc[i]:  # already sorted by row order
+                if cand["key"] == me:
+                    continue
+                if checked >= cap:
+                    break
+                checked += 1
+                other_sig = cand["sparse_sig"]
+                # missing signature on either side passes (one_shot.rs:433-451)
+                if other_sig is None or my_sig is None:
+                    matched = True
+                    break
+                a = np.asarray(my_sig)
+                b = np.asarray(other_sig)
+                if len(a) == len(b) and len(a) and (a == b).mean() >= thr:
+                    matched = True
+                    break
+            out[i] = matched
+        return pd.Series(out)
+
+    return _udf
+
+
+def one_shot_dup_flags_rho(
+    df: DataFrame,
+    cfg: RensaConfig,
+    key_col: str,
+    bands_col: str = "bands",
+    rescue_bands_col: str = "rescue_bands",
+    is_sparse_col: str = "is_sparse",
+    sparse_sig_col: str = "sparse_sig",
+    token_count_col: str = "token_count",
+) -> DataFrame:
+    """Refined one-shot flags for rho sketches: (key, is_dup).
+
+    ``key_col`` must be an orderable id matching the reference's row order
+    (the candidate cap is row-order-dependent, one_shot.rs:408-411).
+    """
+    sv_enabled = cfg.rho_sparse_verify_enabled and cfg.sparse_verify_perm_clamped > 0
+    required_sparse = cfg.rho_sparse_required_band_matches
+    fold = cfg.effective_band_fold(True, False)
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(is_sparse_col).alias("is_sparse"),
+        F.col(sparse_sig_col).alias("sparse_sig"),
+        F.col(token_count_col).alias("token_count"),
+        F.col(bands_col).alias("bands"),
+        F.col(rescue_bands_col).alias("rescue_bands"),
+    )
+    bands = base.select(
+        "key", "is_sparse", "sparse_sig", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    stats = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size"),
+        F.sum(F.col("is_sparse").cast("int")).alias("sparse_cnt"),
+    )
+
+    # non-sparse members: any >=2 bucket counts as a band match
+    # (their verify always passes: the other side's signature is checked only
+    #  when one side is sparse, and a missing signature passes).
+    ns_matches = (
+        bands.filter(~F.col("is_sparse"))
+        .join(
+            stats.filter(F.col("bucket_size") >= 2).select("band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+            "leftsemi",
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+
+    # sparse members: simulate the capped row-order candidate scan
+    if sv_enabled:
+        sparse_buckets = stats.filter(
+            (F.col("bucket_size") >= 2) & (F.col("sparse_cnt") >= 1)
+        ).select("band_idx", "band_hash")
+        members = bands.join(sparse_buckets, ["band_idx", "band_hash"], "leftsemi")
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("key")
+        first_k = (
+            members.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cfg.rho_sparse_verify_max_candidates + 1)
+            .groupBy("band_idx", "band_hash")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("key", "sparse_sig"))
+                ).alias("cands")
+            )
+        )
+        match_udf = _sparse_match_udf(cfg)
+        sp_matches = (
+            bands.filter(F.col("is_sparse"))
+            .join(first_k, ["band_idx", "band_hash"])
+            .withColumn("matched", match_udf("key", "sparse_sig", "cands"))
+            .filter("matched")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("matches"))
+        )
+    else:
+        # verify disabled: sparse members match like non-sparse ones
+        sp_matches = (
+            bands.filter(F.col("is_sparse"))
+            .join(
+                stats.filter(F.col("bucket_size") >= 2).select("band_idx", "band_hash"),
+                ["band_idx", "band_hash"],
+                "leftsemi",
+            )
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("matches"))
+        )
+
+    matches = ns_matches.unionByName(sp_matches)
+    flags = (
+        base.select("key", "is_sparse", "token_count")
+        .join(matches, "key", "left")
+        .withColumn("matches", F.coalesce("matches", F.lit(0)))
+        .withColumn(
+            "required",
+            F.when(F.col("is_sparse"), F.lit(required_sparse)).otherwise(F.lit(1)),
+        )
+    )
+
+    rescue_enabled = cfg.rho_recall_rescue_enabled and fold > 1
+    if rescue_enabled:
+        rescue_cand = flags.filter(
+            (F.col("matches") == 0)
+            & (F.col("required") == 1)
+            & F.col("token_count").between(
+                cfg.rho_recall_rescue_min_tokens, cfg.rho_recall_rescue_max_tokens
+            )
+        ).select("key")
+        rbands = base.select("key", F.posexplode("rescue_bands").alias("band_idx", "band_hash"))
+        rhot = (
+            rbands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .filter(F.col("bucket_size") >= 2)
+            .select("band_idx", "band_hash")
+        )
+        rescued = (
+            rbands.join(rescue_cand, "key", "leftsemi")
+            .join(rhot, ["band_idx", "band_hash"], "leftsemi")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("rescue_matches"))
+            .filter(
+                F.col("rescue_matches") >= cfg.rho_recall_rescue_required_band_matches
+            )
+            .select("key")
+            .withColumn("rescued", F.lit(True))
+        )
+        flags = flags.join(rescued, "key", "left").withColumn(
+            "rescued", F.coalesce("rescued", F.lit(False))
+        )
+    else:
+        flags = flags.withColumn("rescued", F.lit(False))
+
+    return flags.select(
+        "key",
+        ((F.col("matches") >= F.col("required")) | F.col("rescued")).alias("is_dup"),
+    )
+
+
+def candidate_pairs(
+    df: DataFrame,
+    key_col: str,
+    bands_col: str = "bands",
+    hot_bucket_cap: int = 4096,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing >=1 band bucket.
+
+    Buckets larger than ``hot_bucket_cap`` would emit O(n^2) pairs; instead
+    they are star-expanded to their minimum member, which preserves connected
+    components exactly (every member stays connected through the hub) while
+    bounding output to O(n) per bucket. The reference never materializes
+    pairs at all for flags (flags need only bucket size >= 2); pairs exist
+    here for the verification + clustering stages (README.md:100-122 recipe).
+    """
+    bands = explode_bands(df, key_col, bands_col)
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    bands_sized = bands.join(
+        sizes.filter(F.col("bucket_size") >= 2), ["band_idx", "band_hash"]
+    )
+
+    small = bands_sized.filter(F.col("bucket_size") <= hot_bucket_cap)
+    left = small.select("band_idx", "band_hash", F.col("key").alias("a"))
+    right = small.select("band_idx", "band_hash", F.col("key").alias("b"))
+    small_pairs = left.join(right, ["band_idx", "band_hash"]).filter(
+        F.col("a") < F.col("b")
+    )
+
+    big = bands_sized.filter(F.col("bucket_size") > hot_bucket_cap)
+    hubs = big.groupBy("band_idx", "band_hash").agg(F.min("key").alias("hub"))
+    big_pairs = (
+        big.join(hubs, ["band_idx", "band_hash"])
+        .filter(F.col("key") != F.col("hub"))
+        .select(F.col("hub").alias("a"), F.col("key").alias("b"))
+    )
+    return (
+        small_pairs.select("a", "b").unionByName(big_pairs.select("a", "b")).distinct()
+    )

@@ -107,19 +107,31 @@ def test_rminhash_matrix_matches_oracle():
 
 def test_rminhash_matrix_chunking_invariance():
     """Slab boundaries must not change results (reference analogue:
-    chunked pipeline == scalar, pipeline.rs:370-623)."""
+    chunked pipeline == scalar, pipeline.rs:370-623). Interleaves empty rows
+    everywhere so that slabs end in empty rows for some slab size (regression:
+    trailing-empty-row slab corruption of the previous row's segment)."""
     rng = random.Random(13)
-    docs = _random_docs(rng, 30)
+    base = _random_docs(rng, 30)
+    docs = []
+    for d in base:
+        docs.append(d)
+        docs.append([])  # empty after every doc
+    docs.append([])
     a, b = rminhash_permutations(128, 42)
     flat, offsets = _flat(docs)
-    full = km.rminhash_matrix(flat, offsets, a, b)
+    want = [
+        oracle.rminhash_sig_py(d, [int(x) for x in a], [int(x) for x in b])
+        for d in docs
+    ]
     old = km._SLAB_ELEMS
     try:
-        km._SLAB_ELEMS = 256  # force many tiny slabs
-        small = km.rminhash_matrix(flat, offsets, a, b)
+        for slab in [256, 1024, 4096, 1 << 20]:
+            km._SLAB_ELEMS = slab
+            got = km.rminhash_matrix(flat, offsets, a, b)
+            for i in range(len(docs)):
+                assert got[i].tolist() == want[i], f"slab={slab} row={i}"
     finally:
         km._SLAB_ELEMS = old
-    assert np.array_equal(full, small)
 
 
 def test_rminhash_empty_doc_is_all_max():
