@@ -164,6 +164,152 @@ def _q_cc_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rensa_spark.operators.textops import quality_features
+
+    return (
+        quality_features(_docs(spark, sf_dir).select("doc_id", "text"), "text")
+        .select(
+            "doc_id",
+            F.col("n_chars_q"),
+            F.col("n_tokens"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rensa_spark.operators.textops import langid
+
+    return (
+        langid(_docs(spark, sf_dir).select("doc_id", "text"), "text")
+        .select("doc_id", "lang_pred")
+        .orderBy("doc_id")
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rensa_spark.operators.textops import fingerprint
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.when(F.col("text") == "", F.lit(0).cast("long"))
+            .otherwise(fingerprint("text"))
+            .alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_bpe_piece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rensa_spark.operators.textops import bpe_piece_count, token_count
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            bpe_piece_count("text").alias("n_pieces"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rensa_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_pdf = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").toPandas()
+    import pandas as pd
+
+    q = pd.DataFrame({"qid": queries_pdf["vec_id"], "vec": queries_pdf["embedding"]})
+    return brute_force_topk(emb, "vec_id", "embedding", q, k=5).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
+def _grams_col():
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    grams = F.when(F.size(toks) < 3, toks).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (shared-shingle blocking) —
+    the non-probabilistic dedup lane; fully SQL-checkable."""
+    docs = _docs(spark, sf_dir).select("doc_id", _grams_col().alias("gs"))
+    exploded = docs.select("doc_id", F.explode("gs").alias("g"))
+    pairs = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    ga = docs.select(F.col("doc_id").alias("a"), F.col("gs").alias("gs_a"))
+    gb = docs.select(F.col("doc_id").alias("b"), F.col("gs").alias("gs_b"))
+    jacc = F.size(F.array_intersect("gs_a", "gs_b")) / F.size(F.array_union("gs_a", "gs_b"))
+    return (
+        pairs.join(ga, "a")
+        .join(gb, "b")
+        .withColumn("jacc_raw", jacc)
+        .filter(F.col("jacc_raw") >= 0.2)
+        .select("a", "b", F.round("jacc_raw", 6).alias("jacc"))
+        .orderBy("a", "b")
+    )
+
+
+def _q_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch view of the streaming rollup)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("uniq_users"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+def _q_simhash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rensa_spark.operators.similarity import simhash_dup_flags
+
+    return (
+        simhash_dup_flags(_docs(spark, sf_dir), CFG, "doc_id", "text")
+        .select(F.col("key").alias("doc_id"), "is_dup")
+        .orderBy("doc_id")
+    )
+
+
+def _q_add_if_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rensa_spark.operators.dedup import add_if_unique
+
+    return (
+        add_if_unique(_docs(spark, sf_dir), CFG, "doc_id", "text")
+        .select(F.col("key").alias("doc_id"), "kept")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -173,11 +319,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rho_sidecar": _q_rho_sidecar,
         "shingle_counts": _q_shingle_counts,
         "cc_exact_clusters": _q_cc_exact_clusters,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "bpe_piece_counts": _q_bpe_piece_counts,
+        "ann_topk": _q_ann_topk,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "events_hourly_stats": _q_events_hourly_stats,
+        "simhash_dup_flags": _q_simhash_dup_flags,
+        "add_if_unique": _q_add_if_unique,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from rensa_spark.operators.textops import FP_BASE, FP_MOD, STOPWORDS
+
+    def sw_list(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+    lang_hits = ",\n".join(
+        f"len(list_filter(toks, x -> x IN ({sw_list(lang)})))::BIGINT AS hits_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+    lang_case = "\n".join(
+        f"WHEN hits_{lang} = g THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    extra = {
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_q,
+                   len(toks)::BIGINT AS n_tokens,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                         ELSE 0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> x IN ({sw_list('en')})))::DOUBLE / len(toks)
+                         ELSE 0 END, 6) AS stopword_ratio
+            FROM t ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents),
+            h AS (SELECT doc_id, {lang_hits} FROM t),
+            g AS (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS g FROM h)
+            SELECT doc_id,
+                   CASE WHEN g <= 0 THEN 'und'
+                   {lang_case}
+                   END AS lang_pred
+            FROM g ORDER BY doc_id
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   CASE WHEN text = '' THEN 0
+                        ELSE list_reduce(
+                            list_prepend(0::BIGINT,
+                                [unicode(ch)::BIGINT for ch in string_split_regex(text, '')]),
+                            (acc, cp) -> (acc * {FP_BASE} + cp) % {FP_MOD})
+                   END AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
+            SELECT qid, rank::BIGINT AS rank, neighbor_id FROM (
+                SELECT q.qid, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id
+                       ) AS rank
+                FROM q CROSS JOIN embeddings e) t
+            WHERE rank <= 5 ORDER BY qid, rank
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tokens
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(tokens) < 3 THEN tokens
+                         ELSE list_transform(generate_series(1, len(tokens)-2),
+                              i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) END) AS gs
+                FROM toks
+            ), pairs AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM (SELECT doc_id, unnest(gs) AS g FROM grams) x
+                JOIN (SELECT doc_id, unnest(gs) AS g FROM grams) y
+                  ON x.g = y.g AND x.doc_id < y.doc_id
+            )
+            SELECT p.a, p.b,
+                   round(len(list_intersect(ga.gs, gb.gs))::DOUBLE
+                         / len(list_distinct(ga.gs || gb.gs)), 6) AS jacc
+            FROM pairs p
+            JOIN grams ga ON ga.doc_id = p.a
+            JOIN grams gb ON gb.doc_id = p.b
+            WHERE len(list_intersect(ga.gs, gb.gs))::DOUBLE
+                  / len(list_distinct(ga.gs || gb.gs)) >= 0.2
+            ORDER BY a, b
+        """,
+        "events_hourly_stats": """
+            SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+                   COUNT(DISTINCT user_id)::BIGINT AS uniq_users,
+                   COUNT(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # bpe_piece_counts, simhash_dup_flags, add_if_unique: rows-only
+        # (regex-boundary splitting / sketch-collision / order-dependent
+        # semantics are pytest-verified against the pure-Python oracle).
+    }
     return {
+        **extra,
         "exact_dedup": """
             SELECT doc_id,
                    COUNT(*) OVER (PARTITION BY text) >= 2 AS is_dup,

@@ -69,6 +69,21 @@ def verified_pairs(
         hot_bucket_cap=cfg.hot_bucket_cap,
     )
     sigs = sketched.select(F.col(key_col).alias("key"), "sig")
+    return _verify_pairs(pairs, sigs, cfg)
+
+
+def verified_pairs_from_band_rows(
+    band_rows: DataFrame, sigs: DataFrame, cfg: RensaConfig
+) -> DataFrame:
+    """Same, from (key, band_idx, band_hash) rows + (key, sig) table —
+    the checkpointed-pipeline path (band order already positional)."""
+    from rensa_spark.operators.lsh import candidate_pairs_from_band_rows
+
+    pairs = candidate_pairs_from_band_rows(band_rows, cfg.hot_bucket_cap)
+    return _verify_pairs(pairs, sigs, cfg)
+
+
+def _verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: RensaConfig) -> DataFrame:
     jac = jaccard_udf(cfg)
     return (
         pairs.join(sigs.withColumnRenamed("key", "a").withColumnRenamed("sig", "sig_a"), "a")

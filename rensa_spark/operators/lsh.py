@@ -253,7 +253,17 @@ def candidate_pairs(
     bands_col: str = "bands",
     hot_bucket_cap: int = 4096,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing >=1 band bucket.
+    """Array-column wrapper over :func:`candidate_pairs_from_band_rows`."""
+    return candidate_pairs_from_band_rows(
+        explode_bands(df, key_col, bands_col), hot_bucket_cap
+    )
+
+
+def candidate_pairs_from_band_rows(
+    bands: DataFrame, hot_bucket_cap: int = 4096
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing >=1 band bucket, from
+    (key, band_idx, band_hash) rows.
 
     Buckets larger than ``hot_bucket_cap`` would emit O(n^2) pairs; instead
     they are star-expanded to their minimum member, which preserves connected
@@ -262,7 +272,6 @@ def candidate_pairs(
     pairs at all for flags (flags need only bucket size >= 2); pairs exist
     here for the verification + clustering stages (README.md:100-122 recipe).
     """
-    bands = explode_bands(df, key_col, bands_col)
     sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )

@@ -1,0 +1,248 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline. Queries are broadcast (tiny
+  dim table); each partition computes its local top-k with one numpy matmul
+  (never materializing the full cross join), then a global window keeps the
+  true top-k. Scales as O(rows x queries x dim) compute with O(parts x k)
+  shuffle — the right shape for 100 TB: no row-row shuffle at all.
+- LSH-bucketed variant (random hyperplane signs): candidate generation via
+  sign-pattern buckets with multiprobe (flip one plane), exact re-rank inside
+  buckets. The scale path when queries are many.
+- SimHash near-dup flags/pairs for text (kernels/simhash.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rensa_spark.config import RensaConfig
+from rensa_spark.kernels.prng import Xoshiro256PlusPlus
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: pd.DataFrame,  # columns: qid, vec (list[float]) — small, broadcast
+    k: int = 10,
+) -> DataFrame:
+    """-> (qid, rank, neighbor_id) exact cosine top-k per query."""
+    qids = list(queries["qid"])
+    qmat = _normalize(np.array([np.asarray(v, dtype=np.float64) for v in queries["vec"]]))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    qid_type = "string" if isinstance(qids[0], str) else "long"
+    schema = f"qid {qid_type}, neighbor_id {id_type}, score double"
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].values
+            m = _normalize(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            scores = m @ qmat.T  # (rows, nq)
+            top = min(k, len(ids))
+            part = np.argpartition(-scores, top - 1, axis=0)[:top]  # (top, nq)
+            out = []
+            for qi in range(len(qids)):
+                sel = part[:, qi]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids[qi],
+                            "neighbor_id": ids[sel],
+                            "score": scores[sel, qi],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = df.select(id_col, vec_col).mapInPandas(gen, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor_id")
+        .orderBy("qid", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic gaussian-ish hyperplanes from Xoshiro bits (Box-Muller
+    over uniform u64 draws) — no np.random state dependence."""
+    rng = Xoshiro256PlusPlus(seed)
+    n = dim * n_planes
+    u = np.array([rng.next_u64() for _ in range(n * 2)], dtype=np.uint64)
+    u1 = (u[0::2] >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u2 = (u[1::2] >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u1 = np.clip(u1, 1e-12, 1.0)
+    g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return g[:n].reshape(n_planes, dim)
+
+
+def hyperplane_bucket_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: random-hyperplane sign buckets + 1-bit multiprobe, exact
+    re-rank within candidate buckets. Recall < 1 by design; the scale path."""
+    planes = None
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        signs = (m @ planes.T) > 0  # (rows, planes)
+        powers = (1 << np.arange(n_planes, dtype=np.int64))
+        return signs.astype(np.int64) @ powers
+
+    dim = len(np.asarray(queries["vec"].iloc[0]))
+    planes = _hyperplanes(dim, n_planes, seed)
+    qmat = _normalize(np.array([np.asarray(v, dtype=np.float64) for v in queries["vec"]]))
+    q_buckets = bucket_of(qmat)
+    # multiprobe: query bucket + all 1-bit flips
+    probe_sets = []
+    for qi, b in enumerate(q_buckets):
+        probes = {int(b)} | {int(b) ^ (1 << p) for p in range(n_planes)}
+        probe_sets.append(probes)
+    wanted = sorted({p for s in probe_sets for p in s})
+    qids = list(queries["qid"])
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    qid_type = "string" if isinstance(qids[0], str) else "long"
+    schema = f"qid {qid_type}, neighbor_id {id_type}, score double"
+
+    def gen(batches):
+        wanted_arr = np.array(wanted, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].values
+            m = _normalize(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            buckets = bucket_of(m)
+            keep = np.isin(buckets, wanted_arr)
+            if not keep.any():
+                continue
+            ids, m, buckets = ids[keep], m[keep], buckets[keep]
+            scores = m @ qmat.T
+            out = []
+            for qi in range(len(qids)):
+                cand = np.isin(buckets, np.array(sorted(probe_sets[qi]), dtype=np.int64))
+                if not cand.any():
+                    continue
+                s = scores[cand, qi]
+                top = min(k, len(s))
+                sel = np.argpartition(-s, top - 1)[:top]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": qids[qi], "neighbor_id": ids[cand][sel], "score": s[sel]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = df.select(id_col, vec_col).mapInPandas(gen, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor_id")
+        .orderBy("qid", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b) within a blocking key —
+    the blocked-exact lane of embedding dedup (blocking bounds the join)."""
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def simhash_dup_flags(
+    df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str, n_chunks: int = 4
+) -> DataFrame:
+    """SimHash near-dup flags: 64-bit simhash over word n-gram shingles,
+    banded into ``n_chunks`` 16-bit chunks (two docs within hamming distance
+    n_chunks-1 share >=1 chunk); flag = any shared chunk bucket."""
+
+    def gen(batches):
+        from rensa_spark.kernels.shingle import shingle_hashes_batch
+        from rensa_spark.kernels.simhash import simhash_from_flat
+
+        for pdf in batches:
+            flat, offs = shingle_hashes_batch(pdf[text_col], cfg.ngram_size)
+            sh = simhash_from_flat(flat, offs)
+            n = len(sh)
+            chunks = np.empty((n, n_chunks), dtype=np.int64)
+            bits = 64 // n_chunks
+            mask = (1 << bits) - 1
+            u = sh.view(np.uint64)
+            for c in range(n_chunks):
+                chunks[:, c] = ((u >> np.uint64(c * bits)) & np.uint64(mask)).astype(
+                    np.int64
+                )
+            yield pd.DataFrame(
+                {
+                    "key": np.repeat(pdf[key_col].values, n_chunks),
+                    "band_idx": np.tile(np.arange(n_chunks, dtype=np.int32), n),
+                    "band_hash": chunks.reshape(-1),
+                }
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    bands = df.select(key_col, text_col).mapInPandas(
+        gen, f"key {key_type}, band_idx int, band_hash long"
+    )
+    from rensa_spark.operators.lsh import one_shot_flags_from_bands
+
+    return one_shot_flags_from_bands(bands)

@@ -1,0 +1,283 @@
+"""Tests for the training-pipeline extras: text analysis, similarity search,
+SimHash, multimodal plumbing, LSH index table, streaming dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rensa_spark.config import RensaConfig
+from rensa_spark.sources.synthetic import generate_corpus
+
+CFG = RensaConfig(num_perm=128, seed=42, threshold=0.8, num_bands=8)
+
+
+# ------------------------------------------------------------------ textops
+def test_quality_and_tokens(spark):
+    from rensa_spark.operators.textops import langid, quality_features, token_count
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox is in the yard for a while",
+                "der hund ist nicht mit der katze und das ist gut",
+                "!!! ??? ...",
+                "",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    q = {r["id"]: r for r in quality_features(df, "text").withColumn(
+        "n_tok", token_count("text")).collect()}
+    assert q[1]["n_tok"] == 11
+    assert q[4]["n_tok"] == 0
+    assert q[3]["punct_ratio"] > 0.5
+    assert q[1]["stopword_ratio"] > 0.3
+    assert q[1]["quality"] > q[3]["quality"]
+
+    langs = {r["id"]: r["lang_pred"] for r in langid(df, "text").collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+    assert langs[4] == "und"
+
+
+def test_fingerprint_matches_python(spark):
+    from rensa_spark.operators.textops import FP_BASE, FP_MOD, fingerprint
+
+    texts = ["hello world", "", "abc", "the same the same"]
+    df = spark.createDataFrame(pd.DataFrame({"id": range(len(texts)), "text": texts}))
+    got = {r["id"]: r["fp"] for r in df.select("id", fingerprint("text").alias("fp")).collect()}
+
+    def fp_py(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * FP_BASE + ord(ch)) % FP_MOD
+        return acc
+
+    for i, t in enumerate(texts):
+        assert got[i] == fp_py(t), (i, t)
+
+
+# ------------------------------------------------------------------ simhash
+def test_simhash_kernel_properties():
+    from rensa_spark.kernels.shingle import shingle_hashes_batch
+    from rensa_spark.kernels.simhash import hamming64, simhash_from_flat
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact dup
+        "the quick brown fox jumps over the lazy cat again and again",  # near dup
+        "completely different words entirely unrelated content here now",
+        "",
+    ]
+    flat, offs = shingle_hashes_batch(texts, 3)
+    sh = simhash_from_flat(flat, offs)
+    assert sh[0] == sh[1]
+    assert sh[4] == 0
+    d_near = hamming64(sh[0:1], sh[2:3])[0]
+    d_far = hamming64(sh[0:1], sh[3:4])[0]
+    assert d_near < d_far
+    assert d_far > 16
+
+
+def test_simhash_dup_flags_spark(spark):
+    from rensa_spark.operators.similarity import simhash_dup_flags
+
+    pdf = generate_corpus(200, seed=42, with_images=False)
+    df = spark.createDataFrame(pdf[["image_id", "caption"]])
+    flags = {
+        r["key"]: r["is_dup"]
+        for r in simhash_dup_flags(df, CFG, "image_id", "caption").collect()
+    }
+    # exact duplicate captions share the simhash -> must flag
+    groups = pdf[pdf["caption"] != ""].groupby("caption")["image_id"].agg(list)
+    for ids in groups:
+        if len(ids) >= 2:
+            for k in ids:
+                assert flags[k], k
+
+
+# ------------------------------------------------------------------ similarity
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk_exact(spark, emb_df):
+    from rensa_spark.operators.similarity import brute_force_topk
+
+    pdf = emb_df.limit(3).toPandas()
+    queries = pd.DataFrame({"qid": pdf["vec_id"], "vec": pdf["embedding"]})
+    got = brute_force_topk(emb_df, "vec_id", "embedding", queries, k=5).toPandas()
+    # oracle: numpy over full table
+    all_pdf = emb_df.toPandas()
+    m = np.array([np.asarray(v, dtype=np.float64) for v in all_pdf["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid, vec in zip(queries["qid"], queries["vec"]):
+        q = np.asarray(vec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        scores = m @ q
+        order = np.lexsort((all_pdf["vec_id"].values, -scores))[:5]
+        want = list(all_pdf["vec_id"].values[order])
+        sub = got[got["qid"] == qid].sort_values("rank")
+        assert list(sub["neighbor_id"]) == want, qid
+        # self is its own nearest neighbor
+        assert sub.iloc[0]["neighbor_id"] == qid
+
+
+def test_hyperplane_bucket_topk_recall(spark, emb_df):
+    from rensa_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplane_bucket_topk,
+    )
+
+    pdf = emb_df.limit(5).toPandas()
+    queries = pd.DataFrame({"qid": pdf["vec_id"], "vec": pdf["embedding"]})
+    exact = brute_force_topk(emb_df, "vec_id", "embedding", queries, k=5).toPandas()
+    approx = hyperplane_bucket_topk(
+        emb_df, "vec_id", "embedding", queries, k=5, n_planes=4
+    ).toPandas()
+    # ANN must at least find each query's own vector, and overlap with exact
+    # well above the random-candidate baseline ((1+4)/16 = 31% of the space
+    # probed on uniform random vectors — the adversarial case for LSH)
+    hits = 0
+    for qid in queries["qid"]:
+        e = set(exact[exact["qid"] == qid]["neighbor_id"])
+        a = set(approx[approx["qid"] == qid]["neighbor_id"])
+        assert qid in a
+        hits += len(e & a)
+    assert hits / (5 * 5) >= 0.35
+
+
+def test_embedding_near_dup_pairs(spark):
+    from rensa_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.999, 0.01, 0.0], "a"),  # near dup of 1, same block
+        (3, [0.0, 1.0, 0.0], "a"),
+        (4, [1.0, 0.0, 0.0], "b"),  # identical to 1 but different block
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, blk string")
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_pairs(df, "id", "vec", "blk", 0.99).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p != (1, 4) for p in pairs)  # blocking respected
+    assert all(p != (1, 3) for p in pairs)
+
+
+# ------------------------------------------------------------------ multimodal
+def test_image_roundtrip_and_invariants(spark):
+    from rensa_spark.operators.multimodal import (
+        image_stats,
+        verify_payload_invariants,
+    )
+
+    pdf = generate_corpus(60, seed=42, with_images=True)
+    df = spark.createDataFrame(pdf.drop(columns=["gt_cluster"]))
+    stats = image_stats(df).select("image_id", "phash", "px_phash").collect()
+    assert stats
+    for r in stats:
+        assert r["px_phash"] == r["phash"], r["image_id"]
+
+    inv = verify_payload_invariants(df, df, sample=0.5)
+    assert len(inv) > 0
+    assert inv["caption_equal"].all()
+    assert (inv["psnr"] == float("inf")).all()
+
+
+def test_decode_stub_raises_for_unknown_format():
+    from rensa_spark.operators.multimodal import decode_pixels
+
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\x89PNG...", "png")
+
+
+def test_near_dup_pixels_meet_psnr_bound():
+    from rensa_spark.sources.synthetic import (
+        _near_dup_pixels,
+        _random_pixels,
+        psnr,
+    )
+
+    rng = np.random.default_rng(1)
+    px = _random_pixels(rng)
+    noisy = _near_dup_pixels(rng, px)
+    assert psnr(px, noisy) >= 40.0
+
+
+# ------------------------------------------------------------------ LSH index
+def test_lsh_index_insert_query_remove(spark, tmp_path):
+    from rensa_spark.operators.lsh_index import LshIndex
+
+    idx = LshIndex(spark, CFG, str(tmp_path / "lsh"))
+    assert idx.is_empty()
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a", "b", "c"],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "alpha beta gamma delta epsilon zeta eta theta",  # dup of a
+                    "totally different content with other words here",
+                ],
+            }
+        )
+    )
+    idx.insert(base)
+    assert idx.len() == 3
+
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {"key": ["q1", "q2"], "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "no overlap with anything stored in here at all",
+            ]}
+        )
+    )
+    res = {r["key"]: list(r["candidates"]) for r in idx.query(q).collect()}
+    assert set(res["q1"]) == {"a", "b"}
+    assert res["q2"] == []
+
+    flags = {r["key"]: r["is_dup"] for r in idx.query_duplicate_flags(q).collect()}
+    assert flags["q1"] is True and flags["q2"] is False
+
+    oneshot = {r["key"]: r["is_dup"] for r in idx.one_shot_flags(q).collect()}
+    assert oneshot["q1"] is True and oneshot["q2"] is False
+
+    idx.remove(spark.createDataFrame(pd.DataFrame({"key": ["a", "b"]})))
+    assert idx.len() == 1
+    res2 = {r["key"]: list(r["candidates"]) for r in idx.query(q).collect()}
+    assert res2["q1"] == []
+
+
+# ------------------------------------------------------------------ streaming
+def test_streaming_dedup_matches_sequential(spark, tmp_path):
+    from rensa_spark.operators.dedup import add_if_unique
+    from rensa_spark.streaming.dedup import StreamingDeduplicator
+
+    pdf = generate_corpus(300, seed=42, with_images=False)[["image_id", "caption"]]
+    pdf = pdf.rename(columns={"image_id": "key", "caption": "text"})
+
+    dedup = StreamingDeduplicator(spark, CFG, str(tmp_path / "stream"))
+    # feed in three ordered micro-batches
+    for epoch, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        dedup.process_batch(spark.createDataFrame(pdf.iloc[lo:hi]), epoch)
+
+    decisions = spark.read.parquet(str(tmp_path / "stream" / "decisions"))
+    got = {r["key"]: r["kept"] for r in decisions.collect()}
+    assert len(got) == 300
+
+    # oracle: one-shot batch emulation over the full ordered input
+    want = {
+        r["key"]: r["kept"]
+        for r in add_if_unique(
+            spark.createDataFrame(pdf), CFG, "key", "text"
+        ).collect()
+    }
+    mismatches = [k for k in got if got[k] != want[k]]
+    assert not mismatches, mismatches[:10]
