@@ -310,6 +310,15 @@ def _q_add_if_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style exact substring overlap (fingerprinted windows)."""
+    from rensa_spark.operators.substring import substring_overlap_pairs
+
+    return substring_overlap_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", window=50, stride=25
+    ).orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -328,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stats": _q_events_hourly_stats,
         "simhash_dup_flags": _q_simhash_dup_flags,
         "add_if_unique": _q_add_if_unique,
+        "substring_overlap": _q_substring_overlap,
     }
 
 
@@ -427,6 +437,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id)::BIGINT AS uniq_users,
                    COUNT(*)::BIGINT AS n
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "substring_overlap": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 49, 25)) AS pos
+                FROM documents WHERE length(text) >= 50
+            ), wins AS (
+                SELECT doc_id, substr(text, pos, 50) AS win FROM w
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared_windows
+            FROM wins x JOIN wins y ON x.win = y.win AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # bpe_piece_counts, simhash_dup_flags, add_if_unique: rows-only
         # (regex-boundary splitting / sketch-collision / order-dependent

@@ -117,6 +117,7 @@ def add_if_unique(
     text_col: str,
     order_col: str | None = None,
     max_rounds: int = 30,
+    use_lsh: bool = True,
 ) -> DataFrame:
     """Batch emulation of RMinHashDeduplicator.add_pairs with use_lsh=True
     (src/inline_dedup/rminhash.rs:233-299): process rows in ``order_col``
@@ -141,7 +142,22 @@ def add_if_unique(
         F.col(text_col).alias("text"),
     )
     sk = sketch_rminhash(base, cfg, "key", "text")
-    pairs = verified_pairs(sk, cfg)  # a < b by key; re-orient by ord
+    if use_lsh:
+        pairs = verified_pairs(sk, cfg)  # a < b by key; re-orient by ord
+    else:
+        # CMinHashDeduplicator semantics: brute-force against ALL kept items
+        # (src/inline_dedup/cminhash.rs:165-242 — no LSH index). Cross-join
+        # of signatures; only viable for small kept sets, kept for API
+        # parity. jaccard >= threshold is the only gate.
+        jac = jaccard_udf(cfg)
+        left = sk.select(F.col("key").alias("a"), F.col("sig").alias("sig_a"))
+        right = sk.select(F.col("key").alias("b"), F.col("sig").alias("sig_b"))
+        pairs = (
+            left.join(right, F.col("a") < F.col("b"))
+            .withColumn("sim", jac("sig_a", "sig_b"))
+            .filter(F.col("sim") >= cfg.threshold)
+            .select("a", "b", "sim")
+        )
     ords = base.select("key", "ord")
     edges = (
         pairs.join(ords.withColumnRenamed("key", "a").withColumnRenamed("ord", "ord_a"), "a")

@@ -281,3 +281,44 @@ def test_streaming_dedup_matches_sequential(spark, tmp_path):
     }
     mismatches = [k for k in got if got[k] != want[k]]
     assert not mismatches, mismatches[:10]
+
+
+# ------------------------------------------------------------------ substring
+def test_substring_overlap_pairs(spark):
+    from rensa_spark.operators.substring import substring_overlap_pairs
+
+    base = "x" * 10  # noise prefix
+    shared = "the exact same long run of characters appears in both documents here"
+    rows = [
+        ("d1", base + shared + " tail one"),
+        ("d2", "other prefix " + shared + " tail two"),
+        ("d3", "completely unrelated text that shares nothing with the others at all"),
+        ("d4", ""),
+    ]
+    df = spark.createDataFrame(rows, "key string, text string")
+    pairs = {
+        (r["a"], r["b"]): r["shared_windows"]
+        for r in substring_overlap_pairs(df, "key", "text", window=20, stride=1).collect()
+    }
+    assert ("d1", "d2") in pairs and pairs[("d1", "d2")] > 0
+    assert all({a, b} == {"d1", "d2"} for a, b in pairs)
+
+
+def test_add_if_unique_brute_force_matches_lsh_on_small_input(spark):
+    from rensa_spark.operators.dedup import add_if_unique
+
+    pdf = generate_corpus(120, seed=42, with_images=False)[["image_id", "caption"]]
+    df = spark.createDataFrame(pdf)
+    lsh = {
+        r["key"]: r["kept"]
+        for r in add_if_unique(df, CFG, "image_id", "caption", use_lsh=True).collect()
+    }
+    brute = {
+        r["key"]: r["kept"]
+        for r in add_if_unique(df, CFG, "image_id", "caption", use_lsh=False).collect()
+    }
+    # brute force can only find MORE duplicates (LSH misses some candidates);
+    # every brute-kept row must be LSH-kept
+    for k, kept in brute.items():
+        if kept:
+            assert lsh[k], k
