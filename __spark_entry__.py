@@ -251,13 +251,25 @@ def _grams_col():
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (shared-shingle blocking) —
-    the non-probabilistic dedup lane; fully SQL-checkable."""
+    """Exact n-gram Jaccard near-dup pairs with RARE-shingle blocking
+    (document frequency <= 50) — the non-probabilistic dedup lane; fully
+    SQL-checkable. Blocking on rare shingles bounds the self-join: common
+    shingles on low-entropy corpora would otherwise produce O(n^2) candidate
+    pairs (high-jaccard pairs share many shingles, so they virtually always
+    share a rare one; the blocking rule is part of the operator definition
+    and mirrored exactly in the oracle)."""
     docs = _docs(spark, sf_dir).select("doc_id", _grams_col().alias("gs"))
     exploded = docs.select("doc_id", F.explode("gs").alias("g"))
+    rare = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("g")
+    )
+    blocked = exploded.join(rare, "g", "leftsemi")
     pairs = (
-        exploded.alias("x")
-        .join(exploded.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        blocked.alias("x")
+        .join(blocked.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
@@ -416,10 +428,16 @@ def oracle_sql() -> dict[str, str]:
                          ELSE list_transform(generate_series(1, len(tokens)-2),
                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) END) AS gs
                 FROM toks
+            ), exploded AS (
+                SELECT doc_id, unnest(gs) AS g FROM grams
+            ), rare AS (
+                SELECT g FROM exploded GROUP BY g
+                HAVING count(*) BETWEEN 2 AND 50
+            ), blocked AS (
+                SELECT e.doc_id, e.g FROM exploded e JOIN rare r ON e.g = r.g
             ), pairs AS (
                 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                FROM (SELECT doc_id, unnest(gs) AS g FROM grams) x
-                JOIN (SELECT doc_id, unnest(gs) AS g FROM grams) y
+                FROM blocked x JOIN blocked y
                   ON x.g = y.g AND x.doc_id < y.doc_id
             )
             SELECT p.a, p.b,
