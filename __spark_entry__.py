@@ -234,52 +234,62 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _grams_col():
+def _grams_df(df: DataFrame) -> DataFrame:
+    """(doc_id, gs): distinct word-3-gram shingles. Tokens are materialized
+    as a column BEFORE the gram lambda — referencing the raw split()
+    expression inside transform() would re-split the whole document once per
+    accessed element (no common-subexpression elimination inside lambdas;
+    measured 20s vs <1s on 5k docs)."""
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    grams = F.when(F.size(toks) < 3, toks).otherwise(
+    with_toks = df.select("doc_id", toks.alias("toks"))
+    grams = F.when(F.size("toks") < 3, F.col("toks")).otherwise(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.array_join(F.slice("toks", i + 1, 3), " "),
         )
     )
-    return F.array_distinct(grams)
+    return with_toks.select("doc_id", F.array_distinct(grams).alias("gs"))
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs with RARE-shingle blocking
-    (document frequency <= 50) — the non-probabilistic dedup lane; fully
-    SQL-checkable. Blocking on rare shingles bounds the self-join: common
-    shingles on low-entropy corpora would otherwise produce O(n^2) candidate
-    pairs (high-jaccard pairs share many shingles, so they virtually always
-    share a rare one; the blocking rule is part of the operator definition
-    and mirrored exactly in the oracle)."""
-    docs = _docs(spark, sf_dir).select("doc_id", _grams_col().alias("gs"))
-    exploded = docs.select("doc_id", F.explode("gs").alias("g"))
+    """Exact n-gram Jaccard near-dup pairs over RARE shingles (document
+    frequency in [2, 50]) — the non-probabilistic dedup lane; fully
+    SQL-checkable. Jaccard is defined over the rare-shingle sets (common/
+    stopword shingles are excluded from similarity mass, standard practice
+    for low-entropy corpora), which makes the whole computation count-based:
+    candidate generation and |A∩B| come from one bounded self-join on rare
+    grams; only (id, id, count) rows shuffle. The oracle mirrors the same
+    definition exactly."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _grams_df(_docs(spark, sf_dir).select("doc_id", "text"))
+    # exploded feeds two consumers (df counts + blocking) and blocked feeds
+    # three (sizes + both join sides): persist both or the gram lineage
+    # recomputes per consumer
+    exploded = docs.select("doc_id", F.explode("gs").alias("g")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rare = (
         exploded.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= 50))
         .select("g")
     )
-    blocked = exploded.join(rare, "g", "leftsemi")
-    pairs = (
+    blocked = exploded.join(rare, "g", "leftsemi").persist(StorageLevel.MEMORY_AND_DISK)
+    # count-based jaccard: |A∩B| = number of co-occurring rare grams (grams
+    # are distinct per doc), |A∪B| = nA + nB - |A∩B|. Nothing wider than an
+    # (id, id, count) row ever shuffles — the gram ARRAYS never move.
+    sizes = blocked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
         blocked.alias("x")
         .join(blocked.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    ga = docs.select(F.col("doc_id").alias("a"), F.col("gs").alias("gs_a"))
-    gb = docs.select(F.col("doc_id").alias("b"), F.col("gs").alias("gs_b"))
-    jacc = F.size(F.array_intersect("gs_a", "gs_b")) / F.size(F.array_union("gs_a", "gs_b"))
     return (
-        pairs.join(ga, "a")
-        .join(gb, "b")
-        .withColumn("jacc_raw", jacc)
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jacc_raw", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
         .filter(F.col("jacc_raw") >= 0.2)
         .select("a", "b", F.round("jacc_raw", 6).alias("jacc"))
         .orderBy("a", "b")
@@ -435,19 +445,20 @@ def oracle_sql() -> dict[str, str]:
                 HAVING count(*) BETWEEN 2 AND 50
             ), blocked AS (
                 SELECT e.doc_id, e.g FROM exploded e JOIN rare r ON e.g = r.g
-            ), pairs AS (
-                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM blocked GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
                 FROM blocked x JOIN blocked y
                   ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
             )
-            SELECT p.a, p.b,
-                   round(len(list_intersect(ga.gs, gb.gs))::DOUBLE
-                         / len(list_distinct(ga.gs || gb.gs)), 6) AS jacc
-            FROM pairs p
-            JOIN grams ga ON ga.doc_id = p.a
-            JOIN grams gb ON gb.doc_id = p.b
-            WHERE len(list_intersect(ga.gs, gb.gs))::DOUBLE
-                  / len(list_distinct(ga.gs || gb.gs)) >= 0.2
+            SELECT i.a, i.b,
+                   round(i.c::DOUBLE / (sa.n + sb.n - i.c), 6) AS jacc
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.2
             ORDER BY a, b
         """,
         "events_hourly_stats": """
