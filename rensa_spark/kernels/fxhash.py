@@ -104,31 +104,85 @@ def _finalize(compressed: np.ndarray) -> np.ndarray:
     return (h << U64(ROTATE)) | (h >> U64(64 - ROTATE))
 
 
+def _gather_u64(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """LE u64 at arbitrary byte offsets ``pos`` of a uint8 buffer."""
+    idx = pos[:, None] + np.arange(8, dtype=np.int64)[None, :]
+    return (buf[idx].astype(U64) * _POW8).sum(axis=1, dtype=U64)
+
+
+def _gather_u32(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    idx = pos[:, None] + np.arange(4, dtype=np.int64)[None, :]
+    return (buf[idx].astype(U64) * _POW4).sum(axis=1, dtype=U64)
+
+
 def fxhash64_ranges(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """calculate_hash_fast over (start, length) slices of one uint8 buffer.
 
-    This is the zero-copy hot path: shingle bytes are never materialized as
-    Python objects — callers lay out each document's space-joined token blob
-    once and describe shingles as ranges into it.
-    """
+    Zero-copy hot path: shingle bytes are never materialized as Python
+    objects. Vectorized by LENGTH CLASS, not exact length — hash_bytes only
+    reads fixed word positions per class (utils.rs:134-147), so e.g. every
+    8..16-byte token needs exactly the u64s at offsets 0 and len-8; one
+    gather handles the whole class regardless of exact lengths. Long tokens
+    group by 16-byte chunk count (one folding step per chunk, vectorized
+    across all tokens of that chunk count)."""
     n = len(starts)
     out = np.empty(n, dtype=U64)
     if n == 0:
         return out
     starts = np.asarray(starts, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
-    empty_hash = None
-    for length in np.unique(lengths):
-        sel = np.nonzero(lengths == length)[0]
-        if length == 0:
-            if empty_hash is None:
-                empty_hash = _finalize(
-                    _multiply_mix(np.array([SEED1], dtype=U64), np.array([SEED2], dtype=U64))
-                )[0]
-            out[sel] = empty_hash
-            continue
-        idx = starts[sel][:, None] + np.arange(length, dtype=np.int64)[None, :]
-        out[sel] = _finalize(_hash_bytes_fixed_len(buf[idx]))
+    len64 = lengths.astype(U64)
+
+    sel0 = lengths == 0
+    if sel0.any():
+        out[sel0] = _finalize(
+            _multiply_mix(np.array([SEED1], dtype=U64), np.array([SEED2], dtype=U64))
+        )[0]
+
+    sel = (lengths >= 1) & (lengths <= 3)
+    if sel.any():
+        s, l = starts[sel], lengths[sel]
+        s0 = U64(SEED1) ^ buf[s].astype(U64)
+        s1 = U64(SEED2) ^ (
+            (buf[s + l - 1].astype(U64) << U64(8)) | buf[s + l // 2].astype(U64)
+        )
+        out[sel] = _finalize(_multiply_mix(s0, s1) ^ len64[sel])
+
+    sel = (lengths >= 4) & (lengths <= 7)
+    if sel.any():
+        s, l = starts[sel], lengths[sel]
+        s0 = U64(SEED1) ^ _gather_u32(buf, s)
+        s1 = U64(SEED2) ^ _gather_u32(buf, s + l - 4)
+        out[sel] = _finalize(_multiply_mix(s0, s1) ^ len64[sel])
+
+    sel = (lengths >= 8) & (lengths <= 16)
+    if sel.any():
+        s, l = starts[sel], lengths[sel]
+        s0 = U64(SEED1) ^ _gather_u64(buf, s)
+        s1 = U64(SEED2) ^ _gather_u64(buf, s + l - 8)
+        out[sel] = _finalize(_multiply_mix(s0, s1) ^ len64[sel])
+
+    long_sel = lengths > 16
+    if long_sel.any():
+        l_long = lengths[long_sel]
+        # folding iterations: off = 0,16,... while off < len-16
+        iters = (l_long - 17) // 16 + 1
+        ptzc = U64(PREVENT_TRIVIAL_ZERO_COLLAPSE)
+        for it in np.unique(iters):
+            sub = np.nonzero(long_sel)[0][iters == it]
+            s, l = starts[sub], lengths[sub]
+            s0 = np.full(len(sub), SEED1, dtype=U64)
+            s1 = np.full(len(sub), SEED2, dtype=U64)
+            for k in range(int(it)):
+                off = 16 * k
+                x = _gather_u64(buf, s + off)
+                y = _gather_u64(buf, s + off + 8)
+                t = _multiply_mix(s0 ^ x, ptzc ^ y)
+                s0 = s1
+                s1 = t
+            s0 = s0 ^ _gather_u64(buf, s + l - 16)
+            s1 = s1 ^ _gather_u64(buf, s + l - 8)
+            out[sub] = _finalize(_multiply_mix(s0, s1) ^ len64[sub])
     return out
 
 
