@@ -1,0 +1,159 @@
+"""Reference-style semantic tests: path equivalences, config-knob
+monotonicity/no-op equivalences (/root/reference/tests/test_rensa.py:340-451),
+and a real Structured Streaming run."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rensa_spark.config import RensaConfig
+from rensa_spark.kernels.shingle import shingle_hashes_batch
+from rensa_spark.oracle import pyrensa as oracle
+from rensa_spark.sources.synthetic import generate_corpus
+
+CFG = RensaConfig(num_perm=128, seed=42, threshold=0.8, num_bands=8)
+
+
+def test_prehashed_path_equivalence(spark):
+    """UDFs fed pre-hashed token arrays must equal the text path bit-for-bit
+    (reference flat-hash path equivalence, tests/test_rensa.py:236-260)."""
+    from pyspark.sql import functions as F
+
+    from rensa_spark.functions.udfs import (
+        cminhash_sig_udf,
+        rminhash_sig_udf,
+        shingle_hashes_udf,
+    )
+
+    pdf = generate_corpus(150, seed=42, with_images=False)
+    df = spark.createDataFrame(pdf[["image_id", "caption"]])
+    hashes = shingle_hashes_udf(CFG)
+    pre = df.withColumn("th", hashes("caption"))
+
+    for udf_text, udf_hash in [
+        (rminhash_sig_udf(CFG), rminhash_sig_udf(CFG, from_hashes=True)),
+        (cminhash_sig_udf(CFG), cminhash_sig_udf(CFG, from_hashes=True)),
+    ]:
+        a = {
+            r["image_id"]: list(r["s"])
+            for r in pre.select("image_id", udf_text("caption").alias("s")).collect()
+        }
+        b = {
+            r["image_id"]: list(r["s"])
+            for r in pre.select("image_id", udf_hash("th").alias("s")).collect()
+        }
+        assert a == b
+
+
+def test_rho_sparse_gating_monotonicity():
+    """Stricter sparse required-band-matches => never MORE flags
+    (tests/test_rensa.py:340-369 analogue, on the oracle)."""
+    texts = [  # short docs -> sparse rho rows
+        "a b", "a b", "c d", "c d e", "x", "y z w", "a b", "q r s t",
+    ]
+    rho_rows = []
+    for t in texts:
+        flat, _ = shingle_hashes_batch([t], CFG.ngram_size)
+        rho_rows.append(oracle.rho_row_py([int(h) for h in flat], CFG))
+    lax = oracle.one_shot_flags_rho_py(
+        rho_rows, RensaConfig(num_perm=128, seed=42, rho_sparse_required_band_matches=1)
+    )
+    strict = oracle.one_shot_flags_rho_py(
+        rho_rows, RensaConfig(num_perm=128, seed=42, rho_sparse_required_band_matches=4)
+    )
+    assert sum(strict) <= sum(lax)
+    for s, l in zip(strict, lax):
+        assert (not s) or l  # strict-flagged implies lax-flagged
+
+
+def test_rho_verify_disabled_equals_threshold_zero():
+    """verify disabled == threshold 0.0 (tests/test_rensa.py:372-402)."""
+    texts = ["a b", "a c", "b c", "d e", "a b", "f g h", "a", ""]
+    rho_rows = []
+    for t in texts:
+        flat, _ = shingle_hashes_batch([t], CFG.ngram_size)
+        rho_rows.append(oracle.rho_row_py([int(h) for h in flat], CFG))
+    disabled = oracle.one_shot_flags_rho_py(
+        rho_rows, RensaConfig(num_perm=128, seed=42, rho_sparse_verify_enabled=False)
+    )
+    zero_thr = oracle.one_shot_flags_rho_py(
+        rho_rows, RensaConfig(num_perm=128, seed=42, rho_sparse_verify_threshold=0.0)
+    )
+    assert disabled == zero_thr
+
+
+def test_spark_rho_flags_config_knobs(spark):
+    """The distributed refined path honors the same knobs as the oracle."""
+    from rensa_spark.operators.dedup import sketch_rho
+    from rensa_spark.operators.lsh import one_shot_dup_flags_rho
+
+    pdf = generate_corpus(150, seed=7, with_images=False)
+    df = spark.createDataFrame(pdf[["image_id", "caption"]])
+    for cfg in [
+        RensaConfig(num_perm=128, seed=42, rho_sparse_verify_enabled=False),
+        RensaConfig(num_perm=128, seed=42, rho_recall_rescue_enabled=False),
+        RensaConfig(num_perm=128, seed=42, rho_band_fold=1),
+    ]:
+        sk = sketch_rho(df, cfg, "image_id", "caption")
+        got = {
+            r["key"]: r["is_dup"]
+            for r in one_shot_dup_flags_rho(sk, cfg, "image_id").collect()
+        }
+        rho_rows = []
+        for t in pdf["caption"]:
+            flat, _ = shingle_hashes_batch([t], cfg.ngram_size)
+            rho_rows.append(oracle.rho_row_py([int(h) for h in flat], cfg))
+        want = oracle.one_shot_flags_rho_py(rho_rows, cfg)
+        ids = list(pdf["image_id"])
+        mism = [i for i in range(len(ids)) if got[ids[i]] != want[i]]
+        assert not mism, (cfg.rho_band_fold, mism[:5])
+
+
+def test_structured_streaming_smoke(spark, tmp_path):
+    """Real readStream -> foreachBatch(StreamingDeduplicator) run."""
+    from rensa_spark.streaming.dedup import StreamingDeduplicator
+
+    pdf = generate_corpus(120, seed=42, with_images=False)[["image_id", "caption"]]
+    pdf = pdf.rename(columns={"image_id": "key", "caption": "text"})
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    pdf.iloc[:60].to_parquet(src_dir / "batch0.parquet", index=False)
+
+    dedup = StreamingDeduplicator(spark, CFG, str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema("key string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # second file arrives; stream resumes from checkpoint
+    pdf.iloc[60:].to_parquet(src_dir / "batch1.parquet", index=False)
+    q2 = (
+        stream.writeStream.foreachBatch(dedup.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+
+    decisions = spark.read.parquet(str(tmp_path / "state" / "decisions"))
+    got = {r["key"]: r["kept"] for r in decisions.collect()}
+    assert len(got) == 120
+    # streaming decisions == single-pass sequential add-if-unique semantics
+    from rensa_spark.operators.dedup import add_if_unique
+
+    want = {
+        r["key"]: r["kept"]
+        for r in add_if_unique(spark.createDataFrame(pdf), CFG, "key", "text").collect()
+    }
+    mism = [k for k in got if got[k] != want[k]]
+    assert not mism, mism[:10]
