@@ -332,6 +332,21 @@ def _q_add_if_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rho_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refined rho one-shot flags (band folding + sparse gating + sparse
+    verify + recall rescue, src/lsh/one_shot.rs:78-185). Rows-only: the
+    refined control flow is pytest-verified against the pure-Python oracle
+    (tests/test_operators_spark.py::test_rho_flags_match_oracle)."""
+    from rensa_spark.api import RhoEngine
+
+    return (
+        RhoEngine(CFG)
+        .dup_flags(_docs(spark, sf_dir), "doc_id", "text")
+        .select(F.col("key").alias("doc_id"), "is_dup")
+        .orderBy("doc_id")
+    )
+
+
 def _q_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style exact substring overlap (fingerprinted windows)."""
     from rensa_spark.operators.substring import substring_overlap_pairs
@@ -360,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_flags": _q_simhash_dup_flags,
         "add_if_unique": _q_add_if_unique,
         "substring_overlap": _q_substring_overlap,
+        "rho_dup_flags": _q_rho_dup_flags,
     }
 
 

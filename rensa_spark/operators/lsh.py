@@ -64,6 +64,40 @@ def one_shot_flags_from_bands(bands: DataFrame) -> DataFrame:
     )
 
 
+def salted_bucket_sizes(bands: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Two-phase SALTED bucket-size aggregation for hot-band skew:
+    (band_idx, band_hash) -> bucket_size.
+
+    Phase 1 groups by (band_idx, band_hash, salt) where salt spreads each
+    bucket's rows over ``n_salts`` reducers; phase 2 combines the partial
+    counts. This is the explicit form of what Spark's partial hash
+    aggregation already does map-side; it exists for the cases where the
+    map-side combiner is insufficient (e.g. when a single bucket's rows
+    outnumber one reducer's memory, or a non-combinable aggregate is added
+    downstream). Same result as a direct groupBy by construction."""
+    salted = bands.withColumn(
+        "salt", F.pmod(F.xxhash64("key"), F.lit(n_salts)).cast("int")
+    )
+    partial = salted.groupBy("band_idx", "band_hash", "salt").agg(
+        F.count(F.lit(1)).alias("partial_size")
+    )
+    return partial.groupBy("band_idx", "band_hash").agg(
+        F.sum("partial_size").alias("bucket_size")
+    )
+
+
+def one_shot_flags_from_bands_salted(bands: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Salted variant of :func:`one_shot_flags_from_bands`: bucket sizes via
+    two-phase salted aggregation, then a broadcast-friendly join back. Equal
+    results; use when a band bucket is too hot for the window-sort path."""
+    sizes = salted_bucket_sizes(bands, n_salts)
+    return (
+        bands.join(sizes, ["band_idx", "band_hash"])
+        .groupBy("key")
+        .agg(F.max(F.col("bucket_size") >= 2).alias("is_dup"))
+    )
+
+
 def one_shot_dup_flags(
     df: DataFrame, key_col: str, bands_col: str = "bands"
 ) -> DataFrame:

@@ -322,3 +322,37 @@ def test_add_if_unique_brute_force_matches_lsh_on_small_input(spark):
     for k, kept in brute.items():
         if kept:
             assert lsh[k], k
+
+
+def test_salted_flags_equal_window_flags(spark):
+    from rensa_spark.operators.lsh import (
+        one_shot_flags_from_bands,
+        one_shot_flags_from_bands_salted,
+    )
+    from rensa_spark.operators.sketch import rminhash_band_rows
+
+    pdf = generate_corpus(250, seed=42, with_images=False)
+    df = spark.createDataFrame(pdf[["image_id", "caption"]])
+    bands = rminhash_band_rows(df, CFG, "image_id", "caption").localCheckpoint()
+    a = sorted(one_shot_flags_from_bands(bands).collect())
+    b = sorted(one_shot_flags_from_bands_salted(bands, n_salts=7).collect())
+    assert a == b
+
+
+def test_api_facade(spark):
+    from rensa_spark.api import CMinHashEngine, RhoEngine, RMinHashEngine
+
+    pdf = generate_corpus(100, seed=42, with_images=False)
+    df = spark.createDataFrame(pdf[["image_id", "caption"]])
+    eng = RMinHashEngine(CFG)
+    sigs = eng.signatures(df, "image_id", "caption")
+    assert sigs.columns == ["key", "sig"]
+    assert len(sigs.take(1)[0]["sig"]) == CFG.num_perm
+    flags = eng.dup_flags(df, "image_id", "caption")
+    assert set(flags.columns) == {"key", "is_dup"}
+    surv = eng.dedup_clusters(df, "image_id", "caption")
+    assert {"key", "cluster_id", "is_survivor"} <= set(surv.columns)
+    csigs = CMinHashEngine(CFG).signatures(df, "image_id", "caption", bits=64)
+    assert len(csigs.take(1)[0]["sig"]) == CFG.num_perm
+    rflags = RhoEngine(CFG).dup_flags(df, "image_id", "caption")
+    assert rflags.count() == 100
