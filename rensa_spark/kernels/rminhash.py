@@ -58,13 +58,23 @@ def rminhash_matrix(
         t0, t1 = int(offsets[row_start]), int(offsets[row_end])
         if t1 > t0:
             h = flat[t0:t1]
+            # distinct-token pre-map (the reference's adaptive permutation
+            # cache, src/rminhash/permutation_cache.rs, as a slab-local
+            # exact rewrite): when tokens repeat, permute each distinct hash
+            # once and gather — identical output, multiply count drops from
+            # n to u
+            uniq, inverse = np.unique(h, return_inverse=True)
+            use_premap = len(uniq) <= 0.7 * len(h)
+            hh = uniq if use_premap else h
             with np.errstate(over="ignore"):
                 # (a*h + b) with in-place ops; the >>32 and u32 cast happen
                 # AFTER the segmented min — x >> 32 is monotonic
                 # non-decreasing, so min(x) >> 32 == min(x >> 32). This
                 # halves memory traffic over the big slab.
-                permuted = np.multiply(a[None, :], h[:, None])
+                permuted = np.multiply(a[None, :], hh[:, None])
                 np.add(permuted, b[None, :], out=permuted)
+            if use_premap:
+                permuted = permuted[inverse]
             seg = offsets[row_start : row_end + 1] - t0
             starts = seg[:-1]
             valid = seg[1:] > starts  # rows with >=1 token

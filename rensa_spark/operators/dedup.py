@@ -23,7 +23,7 @@ from rensa_spark.functions.udfs import (
     rminhash_sig_udf,
 )
 from rensa_spark.operators.cc import connected_components, survivors
-from rensa_spark.operators.lsh import candidate_pairs, one_shot_dup_flags
+from rensa_spark.operators.lsh import candidate_pairs
 
 
 def sketch_rminhash(

@@ -157,3 +157,37 @@ def test_structured_streaming_smoke(spark, tmp_path):
     }
     mism = [k for k in got if got[k] != want[k]]
     assert not mism, mism[:10]
+
+
+def test_streaming_exact_dedup_watermarked(spark, tmp_path):
+    """streaming_exact_dedup: real stream, duplicates within the watermark
+    window are dropped."""
+    import pandas as pd
+
+    from rensa_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = pd.DataFrame(
+        {
+            "key": ["a", "a", "b", "b", "c"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00"] * 2 + ["2024-01-01 00:01:00"] * 2 + ["2024-01-01 00:02:00"]
+            ),
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    rows.to_parquet(src / "b0.parquet", index=False)
+    stream = spark.readStream.schema("key string, ts timestamp").parquet(str(src))
+    deduped = streaming_exact_dedup(stream, ["key"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(r["key"] for r in spark.sql("select * from dedup_out").collect())
+    assert got == ["a", "b", "c"]
