@@ -50,9 +50,15 @@ def cminhash_matrix64(
         t0, t1 = int(offsets[row_start]), int(offsets[row_end])
         if t1 > t0:
             h = flat[t0:t1]
+            # distinct-token pre-map (see rminhash.py): exact rewrite
+            uniq, inverse = np.unique(h, return_inverse=True)
+            use_premap = len(uniq) <= 0.7 * len(h)
+            hh = uniq if use_premap else h
             with np.errstate(over="ignore"):
-                base = U64(pi_c) * (U64(sigma_a) * h + U64(sigma_b))
+                base = U64(pi_c) * (U64(sigma_a) * hh + U64(sigma_b))
                 values = base[:, None] + pi_pre[None, :]
+            if use_premap:
+                values = values[inverse]
             seg = offsets[row_start : row_end + 1] - t0
             starts = seg[:-1]
             valid = seg[1:] > starts

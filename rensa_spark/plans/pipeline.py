@@ -137,7 +137,7 @@ class DedupPipeline:
     def run(self, df: DataFrame, key_col: str, text_col: str) -> DataFrame:
         from rensa_spark.functions.udfs import rminhash_sig_udf
         from rensa_spark.operators.cc import connected_components, survivors
-        from rensa_spark.operators.dedup import verified_pairs_from_band_rows
+        from rensa_spark.operators.dedup import dedup_edges
         from rensa_spark.operators.lsh import one_shot_flags_from_bands
         from rensa_spark.operators.sketch import rminhash_band_rows
 
@@ -153,10 +153,20 @@ class DedupPipeline:
             "bands", lambda: rminhash_band_rows(src, self.cfg, "key", "text")
         )
         self._run_stage("flags", lambda: one_shot_flags_from_bands(bands))
-        pairs = self._run_stage(
-            "pairs",
-            lambda: verified_pairs_from_band_rows(bands, sigs, self.cfg),
-        )
+        def _build_pairs():
+            sketched = sigs.join(
+                bands.groupBy("key").agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("band_idx", "band_hash"))
+                    ).alias("_b")
+                ).select(
+                    "key", F.col("_b.band_hash").alias("bands")
+                ),
+                "key",
+            )
+            return dedup_edges(sketched, self.cfg)
+
+        pairs = self._run_stage("pairs", _build_pairs)
         clusters = self._run_stage("clusters", lambda: connected_components(pairs))
         return self._run_stage(
             "survivors", lambda: survivors(clusters, sigs.select("key"))
