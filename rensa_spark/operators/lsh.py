@@ -162,6 +162,8 @@ def one_shot_dup_flags_rho(
     required_sparse = cfg.rho_sparse_required_band_matches
     fold = cfg.effective_band_fold(True, False)
 
+    from pyspark.storagelevel import StorageLevel
+
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(is_sparse_col).alias("is_sparse"),
@@ -169,7 +171,8 @@ def one_shot_dup_flags_rho(
         F.col(token_count_col).alias("token_count"),
         F.col(bands_col).alias("bands"),
         F.col(rescue_bands_col).alias("rescue_bands"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # consumed by 3 branches — avoid
+    # recomputing the rho sketch UDF lineage per branch
     bands = base.select(
         "key", "is_sparse", "sparse_sig", F.posexplode("bands").alias("band_idx", "band_hash")
     )
