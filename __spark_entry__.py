@@ -347,6 +347,41 @@ def _q_rho_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: verified pairs -> connected components ->
+    survivors (README.md:100-122 recipe generalized per the north rule).
+    Rows-only (probabilistic edges); determinism across partitionings is
+    pytest-verified, recall vs reference clusters = 1.0 (tests/test_recall)."""
+    from rensa_spark.operators.dedup import dedup_clusters
+
+    return (
+        dedup_clusters(_docs(spark, sf_dir), CFG, "doc_id", "text")
+        .select(
+            F.col("key").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "is_survivor",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN lane (hyperplane buckets + 1-bit multiprobe).
+    Rows-only: approximate by design; deterministic (seeded planes)."""
+    import pandas as pd
+
+    from rensa_spark.operators.similarity import hyperplane_bucket_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_pdf = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").toPandas()
+    q = pd.DataFrame({"qid": queries_pdf["vec_id"], "vec": queries_pdf["embedding"]})
+    return hyperplane_bucket_topk(emb, "vec_id", "embedding", q, k=5, n_planes=6).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
 def _q_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style exact substring overlap (fingerprinted windows)."""
     from rensa_spark.operators.substring import substring_overlap_pairs
@@ -376,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_if_unique": _q_add_if_unique,
         "substring_overlap": _q_substring_overlap,
         "rho_dup_flags": _q_rho_dup_flags,
+        "minhash_clusters": _q_minhash_clusters,
+        "ann_topk_lsh": _q_ann_topk_lsh,
     }
 
 
