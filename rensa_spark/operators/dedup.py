@@ -131,6 +131,38 @@ def dedup_clusters(
     return survivors(clusters, sk.select("key"))
 
 
+def multimodal_dedup_clusters(
+    df: DataFrame,
+    cfg: RensaConfig,
+    key_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Image+caption dedup (north rule: "captions shingled into k-grams and
+    images keyed by phash"): duplicate edges are the UNION of
+    - exact pixel duplicates: equal ``phash`` (the pre-hashed single-token
+      key per SURVEY §2.6 image-keying row), and
+    - caption near-duplicates: verified MinHash pairs,
+    clustered together by connected components; survivor = min key.
+    The hot path touches only (key, caption, phash) — never image bytes."""
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(caption_col).alias("text"),
+        F.col(phash_col).alias("phash"),
+    )
+    sk = sketch_rminhash(base, cfg, "key", "text").persist()
+    caption_edges = dedup_edges(sk, cfg)
+    phash_reps = base.groupBy("phash").agg(F.min("key").alias("rep"))
+    phash_edges = (
+        base.join(phash_reps, "phash")
+        .filter(F.col("key") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("key").alias("b"))
+    )
+    edges = caption_edges.unionByName(phash_edges)
+    clusters = connected_components(edges)
+    return survivors(clusters, base.select("key"))
+
+
 def add_if_unique(
     df: DataFrame,
     cfg: RensaConfig,
