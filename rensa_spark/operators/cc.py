@@ -72,6 +72,10 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if checkpoint_each_round:
+        # materialize once: the input lineage (pair generation + verify) is
+        # otherwise re-evaluated by each of round 1's two self-references
+        edges = edges.localCheckpoint(eager=True)
     if not edges.take(1):
         return edges.select(
             F.col("src").alias("key"), F.col("dst").alias("cluster_id")
