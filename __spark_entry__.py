@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from rensa_spark.operators.textops import FP_BASE, FP_MOD, STOPWORDS
+    from rensa_spark.oracle import duck_sql as D
 
     def sw_list(lang: str) -> str:
         return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -532,12 +533,29 @@ def oracle_sql() -> dict[str, str]:
             FROM wins x JOIN wins y ON x.win = y.win AND x.doc_id < y.doc_id
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        # bpe_piece_counts, simhash_dup_flags, add_if_unique: rows-only
-        # (regex-boundary splitting / sketch-collision / order-dependent
-        # semantics are pytest-verified against the pure-Python oracle).
+    }
+    # Generated sketch-lane oracles (rensa_spark/oracle/duck_sql.py): the
+    # full fxhash64 + MinHash/CMinHash/Rho/SimHash bit-level math expressed
+    # in DuckDB HUGEINT SQL with permutation constants inlined from the same
+    # Xoshiro stream the Spark UDFs use. Every generated stage is
+    # pytest-proven bit-exact against the numpy kernels through DuckDB
+    # (tests/test_duck_oracles.py) independently of this driver harness.
+    sketch = {
+        "minhash_signature_stats": D.minhash_signature_stats_sql(CFG),
+        "cminhash_signature_stats": D.cminhash_signature_stats_sql(CFG),
+        "minhash_dup_flags": D.minhash_dup_flags_sql(CFG),
+        "rho_sidecar": D.rho_sidecar_sql(CFG),
+        "simhash_dup_flags": D.simhash_dup_flags_sql(CFG),
+        "bpe_piece_counts": D.bpe_piece_counts_sql(),
+        "minhash_clusters": D.minhash_clusters_sql(CFG),
+        "add_if_unique": D.add_if_unique_sql(CFG),
+        # still rows-only: rho_dup_flags (refined multi-branch control flow),
+        # ann_topk_lsh (float hyperplane sign decisions not replicable in
+        # SQL without exact float semantics) — both pytest-verified.
     }
     return {
         **extra,
+        **sketch,
         "exact_dedup": """
             SELECT doc_id,
                    COUNT(*) OVER (PARTITION BY text) >= 2 AS is_dup,
@@ -546,12 +564,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
-        # minhash_dup_flags: no SQL oracle — the driver corpus's tiny
-        # vocabulary produces genuinely-high-Jaccard non-identical pairs, so
-        # one-shot band-collision flags are NOT equivalent to exact-dup flags
-        # (verified empirically). Registered rows-only; bit-exact parity with
-        # the rensa semantics is proven in tests/test_operators_spark.py
-        # against the pure-Python oracle.
         "shingle_counts": """
             WITH toks AS (
                 SELECT doc_id,

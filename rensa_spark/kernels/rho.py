@@ -32,6 +32,7 @@ from rensa_spark.config import (
     RensaConfig,
 )
 from rensa_spark.kernels.prng import splitmix64_np
+from rensa_spark.kernels.shingle import _ragged_arange
 
 U16 = np.uint16
 U32 = np.uint32
@@ -138,9 +139,10 @@ def rho_matrix(
     if len(sampled):
         probes_per_row = np.full(rows, cfg.effective_probes(0), dtype=np.int64)
         if cfg.rho_adaptive_probes:
-            probes_per_row = np.array(
-                [cfg.effective_probes(int(c)) for c in source_counts], dtype=np.int64
-            )
+            base = min(max(cfg.rho_probes, 1), 4)
+            probes_per_row = np.where(
+                source_counts >= cfg.rho_long_doc_threshold, base, max(base - 1, 1)
+            ).astype(np.int64)
         probes_of_token = probes_per_row[row_of_token]
         is_pow2 = (num_perm & (num_perm - 1)) == 0
         mixed = splitmix64_np(sampled ^ U64(cfg.seed & 0xFFFFFFFFFFFFFFFF) ^ RHO_SALTS[0])
@@ -172,17 +174,24 @@ def rho_matrix(
     sparse_sigs = np.full((rows, sv_perm), EMPTY_BUCKET, dtype=U32)
     sparse_rows = np.nonzero(sparse)[0]
     if sv_perm > 0 and len(sparse_rows):
-        for i in range(sv_perm):
-            with np.errstate(over="ignore"):
-                perm_seed = splitmix64_np(
-                    np.array([cfg.seed ^ int(_SEED1) ^ ((i * int(_PHI)) & 0xFFFFFFFFFFFFFFFF)], dtype=U64)
-                )[0]
-            for r in sparse_rows:
-                seg = sampled[s_offsets[r] : s_offsets[r + 1]]
-                if len(seg) == 0:
-                    continue
-                v = (splitmix64_np(seg ^ perm_seed) >> U64(32)).astype(U32)
-                sparse_sigs[r, i] = v.min()
+        # one splitmix64 broadcast over (sparse tokens x sv_perm seeds) + a
+        # segmented min — no per-row Python (rho.rs:587-613 semantics kept
+        # bit-exact; the old per-row loop was the round-1 perf finding)
+        with np.errstate(over="ignore"):
+            perm_seeds = splitmix64_np(
+                U64(cfg.seed) ^ _SEED1 ^ (np.arange(sv_perm, dtype=U64) * _PHI)
+            )
+        sel = sparse_rows[s_counts[sparse_rows] > 0]
+        if len(sel):
+            counts = s_counts[sel]
+            flat_idx = np.repeat(s_offsets[sel], counts) + _ragged_arange(counts)
+            toks = sampled[flat_idx]
+            vals = (
+                splitmix64_np(toks[:, None] ^ perm_seeds[None, :]) >> U64(32)
+            ).astype(U32)
+            seg_starts = np.zeros(len(sel), dtype=np.int64)
+            np.cumsum(counts[:-1], out=seg_starts[1:])
+            sparse_sigs[sel] = np.minimum.reduceat(vals, seg_starts, axis=0)
     return RhoMatrix(
         digest=digest,
         non_empty=np.minimum(non_empty_counts, 0xFFFF).astype(U16),

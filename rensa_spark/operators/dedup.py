@@ -221,11 +221,17 @@ def add_if_unique(
         )
     ).localCheckpoint(eager=True)
 
-    # state: keys with decided status; start with rows having no earlier conflicts
-    undecided = base.select("key")
+    # state: keys with decided status; start with rows having no earlier
+    # conflicts. Keys are unique, so every set op is a key-join: left_anti
+    # joins (broadcast-able, no full-row shuffle) replace round 1's
+    # exceptAll, and the only per-round driver job is one count() on the
+    # already-materialized checkpoint (a non-empty DAG always has a
+    # non-empty frontier, so frontier-empty cannot stall the loop).
+    undecided = base.select("key").localCheckpoint(eager=True)
+    n_undecided = undecided.count()
     kept = undecided.limit(0).withColumn("kept", F.lit(True)).select("key", "kept")
     for _ in range(max_rounds):
-        if not undecided.take(1):
+        if n_undecided == 0:
             break
         live_edges = edges.join(undecided.withColumnRenamed("key", "late"), "late", "leftsemi")
         blocked = (
@@ -233,7 +239,7 @@ def add_if_unique(
             .select(F.col("late").alias("key"))
             .distinct()
         )
-        frontier = undecided.exceptAll(blocked)
+        frontier = undecided.join(blocked, "key", "left_anti")
         kept_early = kept.filter("kept").select(F.col("key").alias("early"))
         frontier_dup = (
             edges.join(kept_early, "early", "leftsemi")
@@ -241,12 +247,15 @@ def add_if_unique(
             .join(frontier, "key", "leftsemi")
             .distinct()
         )
-        frontier_kept = frontier.exceptAll(frontier_dup)
+        frontier_kept = frontier.join(frontier_dup, "key", "left_anti")
         newly = frontier_kept.withColumn("kept", F.lit(True)).unionByName(
             frontier_dup.withColumn("kept", F.lit(False))
         )
         kept = kept.unionByName(newly).localCheckpoint(eager=True)
-        undecided = undecided.exceptAll(frontier).localCheckpoint(eager=True)
+        undecided = undecided.join(frontier, "key", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_undecided = undecided.count()
     else:
         raise RuntimeError(
             f"add_if_unique did not converge in {max_rounds} rounds; "

@@ -29,12 +29,8 @@ captions) makes one giant band bucket. The count-only aggregation handles it
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import BooleanType
 
 from rensa_spark.config import RensaConfig
 
@@ -107,40 +103,23 @@ def one_shot_dup_flags(
     return one_shot_flags_from_bands(explode_bands(df, key_col, bands_col))
 
 
-def _sparse_match_udf(cfg: RensaConfig):
-    """Per sparse bucket-member decision against the bucket's first
-    max_candidates+1 members in row order (src/lsh/one_shot.rs:387-433)."""
-    thr = cfg.rho_sparse_verify_threshold
-    cap = cfg.rho_sparse_verify_max_candidates
-
-    @pandas_udf(BooleanType())
-    def _udf(key: pd.Series, sig: pd.Series, cands: pd.Series) -> pd.Series:
-        out = np.zeros(len(key), dtype=bool)
-        for i in range(len(key)):
-            me = key.iloc[i]
-            my_sig = sig.iloc[i]
-            checked = 0
-            matched = False
-            for cand in cands.iloc[i]:  # already sorted by row order
-                if cand["key"] == me:
-                    continue
-                if checked >= cap:
-                    break
-                checked += 1
-                other_sig = cand["sparse_sig"]
-                # missing signature on either side passes (one_shot.rs:433-451)
-                if other_sig is None or my_sig is None:
-                    matched = True
-                    break
-                a = np.asarray(my_sig)
-                b = np.asarray(other_sig)
-                if len(a) == len(b) and len(a) and (a == b).mean() >= thr:
-                    matched = True
-                    break
-            out[i] = matched
-        return pd.Series(out)
-
-    return _udf
+def _sparse_verify_match_col(my_sig, cand_sig, thr: float):
+    """Pure-JVM sparse-verify decision for one (member, candidate) pair:
+    missing signature on either side passes (one_shot.rs:433-451); else
+    equal-length 8-slot signatures match at equal-slot fraction >= thr
+    (src/lsh/config.rs:126-139). Replaces the round-1 row-at-a-time pandas
+    UDF — the whole verify now stays inside whole-stage codegen."""
+    eq = F.aggregate(
+        F.zip_with(my_sig, cand_sig, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    ok_shape = (F.size(my_sig) == F.size(cand_sig)) & (F.size(my_sig) > 0)
+    return (
+        my_sig.isNull()
+        | cand_sig.isNull()
+        | (ok_shape & (eq / F.size(my_sig) >= F.lit(thr)))
+    )
 
 
 def one_shot_dup_flags_rho(
@@ -196,28 +175,43 @@ def one_shot_dup_flags_rho(
     )
 
     # sparse members: simulate the capped row-order candidate scan
+    # (one_shot.rs:387-433) as PAIR rows — sparse member x the bucket's first
+    # cap+1 members — decided entirely JVM-side. The scan checks up to ``cap``
+    # non-self candidates among the bucket's first cap+1 members in row
+    # order: when the member itself sits within the first cap+1, every other
+    # one of them is checked; otherwise only the first ``cap`` are (the
+    # (cap+1)-th would be the cap-th non-self check, past the limit). The
+    # early break on first match cannot change the OR over checked
+    # candidates, so bool_or is exact.
     if sv_enabled:
+        cap = cfg.rho_sparse_verify_max_candidates
         sparse_buckets = stats.filter(
             (F.col("bucket_size") >= 2) & (F.col("sparse_cnt") >= 1)
         ).select("band_idx", "band_hash")
         members = bands.join(sparse_buckets, ["band_idx", "band_hash"], "leftsemi")
         w = Window.partitionBy("band_idx", "band_hash").orderBy("key")
-        first_k = (
-            members.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= cfg.rho_sparse_verify_max_candidates + 1)
-            .groupBy("band_idx", "band_hash")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("key", "sparse_sig"))
-                ).alias("cands")
-            )
+        ranked = members.withColumn("rn", F.row_number().over(w))
+        first_k = ranked.filter(F.col("rn") <= cap + 1).select(
+            "band_idx",
+            "band_hash",
+            F.col("key").alias("cand_key"),
+            F.col("sparse_sig").alias("cand_sig"),
+            F.col("rn").alias("cand_rn"),
         )
-        match_udf = _sparse_match_udf(cfg)
         sp_matches = (
-            bands.filter(F.col("is_sparse"))
+            ranked.filter(F.col("is_sparse"))
             .join(first_k, ["band_idx", "band_hash"])
-            .withColumn("matched", match_udf("key", "sparse_sig", "cands"))
-            .filter("matched")
+            .filter(F.col("cand_key") != F.col("key"))
+            .filter((F.col("rn") <= cap + 1) | (F.col("cand_rn") <= cap))
+            .withColumn(
+                "matched",
+                _sparse_verify_match_col(
+                    F.col("sparse_sig"), F.col("cand_sig"), cfg.rho_sparse_verify_threshold
+                ),
+            )
+            .groupBy("key", "band_idx", "band_hash")
+            .agg(F.max("matched").alias("band_matched"))
+            .filter("band_matched")
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("matches"))
         )
