@@ -391,6 +391,122 @@ def _q_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _q_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule flagship shape (image+caption dedup) driven on the driver
+    tables: documents stand in as caption rows with phash := the caption
+    rolling-hash fingerprint (a deterministic stand-in for an image
+    perceptual hash — the operator only ever tests phash EQUALITY). Edges =
+    equal-phash ∪ verified caption-MinHash pairs -> connected components."""
+    from rensa_spark.operators.dedup import multimodal_dedup_clusters
+    from rensa_spark.operators.textops import fingerprint
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text").alias("caption"),
+        F.when(F.col("text") == "", F.lit(0).cast("long"))
+        .otherwise(fingerprint("text"))
+        .alias("phash"),
+    )
+    return (
+        multimodal_dedup_clusters(docs, CFG, "doc_id", "caption", "phash")
+        .select(
+            F.col("key").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "is_survivor",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_ann_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query ANN lane: df<->df hyperplane-bucket equi-join + window
+    top-k — every embedding row is a query (no driver-side collection).
+    Rows-only (approximate by design; deterministic seeded planes); recall
+    vs brute force is pytest-gated (tests/test_extras.py)."""
+    from rensa_spark.operators.similarity import bucketed_topk_join
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return bucketed_topk_join(
+        emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=3, n_planes=6, dim=64,
+    ).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
+def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem. Money sums ride as
+    exact cents (round(x*100) -> long) so Spark and DuckDB agree bit-for-bit
+    (double-sum ordering differences can never show up in the hash)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + window lane: top-3 customers by order revenue per
+    nation (customer/nation are broadcast dims; only (custkey, cents) rows
+    reach the shuffle)."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    joined = rev.join(
+        F.broadcast(cust), rev["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    w = Window.partitionBy("n_name").orderBy(F.desc("rev_cents"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "n_name",
+            F.col("rank").cast("long").alias("rank"),
+            "c_custkey",
+            "rev_cents",
+            "n_orders",
+        )
+        .orderBy("n_name", "rank")
+    )
+
+
+def _q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped existence join: order counts per priority among orders with
+    at least one lineitem (left-semi — only the key crosses the shuffle)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        orders.join(
+            li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+            "o_orderkey",
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -413,6 +529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rho_dup_flags": _q_rho_dup_flags,
         "minhash_clusters": _q_minhash_clusters,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "multimodal_clusters": _q_multimodal_clusters,
+        "ann_topk_many": _q_ann_topk_many,
+        "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "tpch_top_customers": _q_tpch_top_customers,
+        "tpch_order_priority": _q_tpch_order_priority,
     }
 
 
@@ -549,13 +670,49 @@ def oracle_sql() -> dict[str, str]:
         "bpe_piece_counts": D.bpe_piece_counts_sql(),
         "minhash_clusters": D.minhash_clusters_sql(CFG),
         "add_if_unique": D.add_if_unique_sql(CFG),
-        # still rows-only: rho_dup_flags (refined multi-branch control flow),
-        # ann_topk_lsh (float hyperplane sign decisions not replicable in
-        # SQL without exact float semantics) — both pytest-verified.
+        "multimodal_clusters": D.multimodal_clusters_sql(CFG, FP_BASE, FP_MOD),
+        "rho_dup_flags": D.rho_dup_flags_sql(CFG),
+        # still rows-only: ann_topk_lsh / ann_topk_many (float hyperplane
+        # sign decisions are not replicable in SQL without exact float
+        # semantics) — pytest-verified against the exact brute-force lane.
+    }
+    tpch = {
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS sum_disc_cents,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_top_customers": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents,
+                       count(*)::BIGINT AS n_orders
+                FROM orders GROUP BY 1),
+            ranked AS (
+                SELECT n.n_name, c.c_custkey, r.rev_cents, r.n_orders,
+                       row_number() OVER (
+                           PARTITION BY n.n_name
+                           ORDER BY r.rev_cents DESC, c.c_custkey) AS rank
+                FROM rev r
+                JOIN customer c ON c.c_custkey = r.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey)
+            SELECT n_name, rank::BIGINT AS rank, c_custkey, rev_cents, n_orders
+            FROM ranked WHERE rank <= 3 ORDER BY n_name, rank
+        """,
+        "tpch_order_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+            GROUP BY 1 ORDER BY 1
+        """,
     }
     return {
         **extra,
         **sketch,
+        **tpch,
         "exact_dedup": """
             SELECT doc_id,
                    COUNT(*) OVER (PARTITION BY text) >= 2 AS is_dup,

@@ -60,6 +60,33 @@ def _flat_from_series(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return flat, offsets
 
 
+def _flat_from_byte_series(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Series of binary-token lists (array<binary> columns) -> (flat uint64
+    fxhash64 hashes, offsets). Raw bytes are hashed exactly like the
+    reference's bytes-token input path (src/py_input.rs:11-18 — PyBytes
+    tokens feed calculate_hash_fast unchanged; kernels/fxhash.py:189-222)."""
+    rows = len(series)
+    all_tokens: list[bytes] = []
+    lens = np.empty(rows, dtype=np.int64)
+    for i, v in enumerate(series):
+        toks = [] if v is None else [bytes(t) for t in v]
+        lens[i] = len(toks)
+        all_tokens.extend(toks)
+    offsets = np.zeros(rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return fxhash64(all_tokens), offsets
+
+
+def _flat_for(col: pd.Series, cfg: RensaConfig, input_kind: str):
+    """Dispatch the three reference input forms (token strings via shingling,
+    pre-hashed u64 tokens, raw byte tokens) to one flat layout."""
+    if input_kind == "hashes":
+        return _flat_from_series(col)
+    if input_kind == "bytes":
+        return _flat_from_byte_series(col)
+    return shingle_hashes_batch(col, cfg.ngram_size)
+
+
 def _sig_matrix_from_series(series: pd.Series, num_perm: int) -> np.ndarray:
     """Series of int32-lists (signatures) -> (rows, num_perm) uint32."""
     rows = len(series)
@@ -101,42 +128,45 @@ def shingle_hashes_udf(cfg: RensaConfig):
     return _udf
 
 
-def rminhash_sig_udf(cfg: RensaConfig, from_hashes: bool = False):
-    """text (or token-hash array) -> array<int> R-MinHash signature."""
+def rminhash_sig_udf(cfg: RensaConfig, from_hashes: bool = False, from_bytes: bool = False):
+    """text (or token-hash array, or binary-token array) -> array<int>
+    R-MinHash signature. ``from_bytes`` accepts array<binary> token columns
+    (digest_matrix_from_token_byte_sets, src/rminhash/py.rs bytes path)."""
     a, b = None, None
+    kind = "hashes" if from_hashes else ("bytes" if from_bytes else "text")
 
     @pandas_udf(ArrayType(IntegerType()))
     def _udf(col: pd.Series) -> pd.Series:
         nonlocal a, b
         if a is None:
             a, b = _perms(cfg.num_perm, cfg.seed)
-        if from_hashes:
-            flat, offsets = _flat_from_series(col)
-        else:
-            flat, offsets = shingle_hashes_batch(col, cfg.ngram_size)
+        flat, offsets = _flat_for(col, cfg, kind)
         sig = rminhash_matrix(flat, offsets, a, b)
         return _as_list_series(sig, np.int32)
 
     return _udf
 
 
-def rminhash_bands_udf(cfg: RensaConfig, fold: int = 1, from_hashes: bool = False):
+def rminhash_bands_udf(
+    cfg: RensaConfig,
+    fold: int = 1,
+    from_hashes: bool = False,
+    from_bytes: bool = False,
+):
     """Fused hot path: text -> array<bigint> effective band hashes.
 
     One Python crossing per batch; the signature matrix never leaves the
     executor. This is the sketch+banding stage of the flagship one-shot
     pipeline (src/lsh/one_shot.rs:294-332 fast path)."""
     a, b = None, None
+    kind = "hashes" if from_hashes else ("bytes" if from_bytes else "text")
 
     @pandas_udf(ArrayType(LongType()))
     def _udf(col: pd.Series) -> pd.Series:
         nonlocal a, b
         if a is None:
             a, b = _perms(cfg.num_perm, cfg.seed)
-        if from_hashes:
-            flat, offsets = _flat_from_series(col)
-        else:
-            flat, offsets = shingle_hashes_batch(col, cfg.ngram_size)
+        flat, offsets = _flat_for(col, cfg, kind)
         sig = rminhash_matrix(flat, offsets, a, b)
         bands = _band_hash_matrix(sig, cfg.num_bands, fold)
         return _as_list_series(bands, np.int64)
@@ -157,17 +187,21 @@ def band_hashes_udf(cfg: RensaConfig, fold: int = 1):
     return _udf
 
 
-def cminhash_sig_udf(cfg: RensaConfig, bits: int = 32, from_hashes: bool = False):
+def cminhash_sig_udf(
+    cfg: RensaConfig,
+    bits: int = 32,
+    from_hashes: bool = False,
+    from_bytes: bool = False,
+):
     """text -> C-MinHash signature; bits=32 -> array<int> (digest()),
-    bits=64 -> array<bigint> (digest_u64())."""
+    bits=64 -> array<bigint> (digest_u64()). ``from_bytes`` accepts
+    array<binary> token columns (bytes-token input path)."""
     ret = ArrayType(IntegerType()) if bits == 32 else ArrayType(LongType())
+    kind = "hashes" if from_hashes else ("bytes" if from_bytes else "text")
 
     @pandas_udf(ret)
     def _udf(col: pd.Series) -> pd.Series:
-        if from_hashes:
-            flat, offsets = _flat_from_series(col)
-        else:
-            flat, offsets = shingle_hashes_batch(col, cfg.ngram_size)
+        flat, offsets = _flat_for(col, cfg, kind)
         sig64 = cminhash_matrix64(flat, offsets, cfg.num_perm, cfg.seed)
         if bits == 32:
             return _as_list_series(cminhash_digest32(sig64), np.int32)

@@ -61,41 +61,57 @@ class LshIndex:
             self.bands().select("key").distinct().count()
         )
 
+    def _sigs_exists(self) -> bool:
+        return os.path.exists(os.path.join(self._path("sigs"), "_SUCCESS"))
+
+    def sigs(self) -> DataFrame:
+        if not self._sigs_exists():
+            return self.spark.createDataFrame([], "key string, sig array<int>")
+        return self.spark.read.parquet(self._path("sigs"))
+
+    def _rewrite(self, df: DataFrame, name: str) -> None:
+        """Overwrite a state table via a temp copy (Iceberg: MERGE/DELETE).
+        Batch callers beware: insert/remove rewrite the WHOLE table per call
+        — batch your keys into one DataFrame rather than looping."""
+        df.write.mode("overwrite").parquet(self._path(f"{name}_tmp"))
+        self.spark.read.parquet(self._path(f"{name}_tmp")).write.mode(
+            "overwrite"
+        ).parquet(self._path(name))
+
     def insert(self, df: DataFrame, cfg_key: str = "key", text_col: str = "text") -> None:
         """Sketch + band rows appended to the index (insert_matrix,
-        src/lsh/py.rs:94-108). Re-insert semantics (remove old first,
+        src/lsh/py.rs:94-108), plus the signature table that backs
+        jaccard-verified queries. Re-insert semantics (remove old first,
         src/lsh/index.rs:145-165): remove keys that already exist."""
+        from rensa_spark.functions.udfs import rminhash_sig_udf
         from rensa_spark.operators.sketch import rminhash_band_rows
 
-        new_bands = rminhash_band_rows(
-            df.select(F.col(cfg_key).alias("key"), F.col(text_col).alias("text")),
-            self.cfg,
-            "key",
-            "text",
-        )
+        base = df.select(F.col(cfg_key).alias("key"), F.col(text_col).alias("text"))
+        new_bands = rminhash_band_rows(base, self.cfg, "key", "text")
+        sig = rminhash_sig_udf(self.cfg)
+        new_sigs = base.select("key", sig(F.col("text")).alias("sig"))
         if self._exists():
             keys = df.select(F.col(cfg_key).alias("key")).distinct()
-            kept = self.bands().join(keys, "key", "left_anti")
-            merged = kept.unionByName(new_bands)
-            # rewrite (Iceberg: MERGE INTO)
-            merged.write.mode("overwrite").parquet(self._path("bands_tmp"))
-            self.spark.read.parquet(self._path("bands_tmp")).write.mode(
-                "overwrite"
-            ).parquet(self._path("bands"))
+            self._rewrite(
+                self.bands().join(keys, "key", "left_anti").unionByName(new_bands),
+                "bands",
+            )
+            self._rewrite(
+                self.sigs().join(keys, "key", "left_anti").unionByName(new_sigs),
+                "sigs",
+            )
         else:
             new_bands.write.mode("overwrite").parquet(self._path("bands"))
+            new_sigs.write.mode("overwrite").parquet(self._path("sigs"))
 
     def remove(self, keys_df: DataFrame, key_col: str = "key") -> None:
-        """DELETE FROM bands WHERE key IN (...) (src/lsh/py.rs:169-176)."""
+        """DELETE FROM bands/sigs WHERE key IN (...) (src/lsh/py.rs:169-176)."""
         if not self._exists():
             return
-        kept = self.bands().join(
-            keys_df.select(F.col(key_col).alias("key")).distinct(), "key", "left_anti"
-        )
-        kept.write.mode("overwrite").parquet(self._path("bands_tmp"))
-        self.spark.read.parquet(self._path("bands_tmp")).write.mode(
-            "overwrite"
-        ).parquet(self._path("bands"))
+        keys = keys_df.select(F.col(key_col).alias("key")).distinct()
+        self._rewrite(self.bands().join(keys, "key", "left_anti"), "bands")
+        if self._sigs_exists():
+            self._rewrite(self.sigs().join(keys, "key", "left_anti"), "sigs")
 
     def query(self, df: DataFrame, key_col: str = "key", text_col: str = "text") -> DataFrame:
         """Per query row: distinct index keys sharing >=1 band
@@ -133,6 +149,48 @@ class LshIndex:
         src/lsh/index.rs:123-143) -> (key, is_dup)."""
         return self.query(df, key_col, text_col).select(
             "key", (F.size("candidates") > 1).alias("is_dup")
+        )
+
+    def get_duplicates(
+        self, df: DataFrame, key_col: str = "key", text_col: str = "text"
+    ) -> DataFrame:
+        """Jaccard-VERIFIED duplicates per query row
+        (src/inline_dedup/rminhash.rs:321-360: LSH candidates filtered by
+        signature similarity >= threshold) -> (key, duplicates
+        array<string>). Unlike :meth:`query`, band co-membership alone is
+        not enough — each candidate's stored signature is checked against
+        the query signature with the equal-slot-fraction jaccard."""
+        from rensa_spark.functions.udfs import jaccard_udf, rminhash_sig_udf
+        from rensa_spark.operators.sketch import rminhash_band_rows
+
+        base = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text"))
+        qbands = rminhash_band_rows(base, self.cfg, "key", "text")
+        sig = rminhash_sig_udf(self.cfg)
+        qsigs = base.select("key", sig(F.col("text")).alias("qsig"))
+        cand = (
+            qbands.join(
+                self.bands().withColumnRenamed("key", "index_key"),
+                ["band_idx", "band_hash"],
+            )
+            .select("key", "index_key")
+            .distinct()
+        )
+        jac = jaccard_udf(self.cfg)
+        verified = (
+            cand.join(qsigs, "key")
+            .join(self.sigs().withColumnRenamed("key", "index_key"), "index_key")
+            .withColumn("sim", jac("qsig", "sig"))
+            .filter(F.col("sim") >= self.cfg.threshold)
+            .groupBy("key")
+            .agg(F.sort_array(F.collect_set("index_key")).alias("duplicates"))
+        )
+        return (
+            df.select(F.col(key_col).alias("key"))
+            .join(verified, "key", "left")
+            .withColumn(
+                "duplicates",
+                F.coalesce("duplicates", F.array().cast("array<string>")),
+            )
         )
 
     def one_shot_flags(

@@ -172,6 +172,95 @@ def hyperplane_bucket_topk(
     )
 
 
+def bucketed_topk_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries_df: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Many-query ANN lane: df <-> df hyperplane-bucket EQUI-JOIN + per-query
+    window top-k — no driver-side query collection, so it scales to millions
+    of query vectors (the round-1 ``hyperplane_bucket_topk`` broadcasts a
+    pandas query set; this is its distributed replacement).
+
+    Plan shape: each side crosses Python once (Arrow-batched bucket UDF);
+    the query side explodes to its own bucket plus all 1-bit flips
+    (multiprobe, same probe set as the broadcast lane), the corpus side is
+    keyed by its single bucket, and the ONE shuffle is the equi-join on
+    ``bucket``. A corpus row occupies exactly one bucket and the probe set
+    per query is distinct, so (qid, neighbor) pairs are already unique — no
+    dedup pass. Cosine re-rank runs JVM-side (zip_with/aggregate), then a
+    per-qid window keeps the top-k.
+    """
+    if dim is None:
+        dim = len(
+            np.asarray(
+                queries_df.select(qvec_col).filter(F.col(qvec_col).isNotNull()).first()[0]
+            )
+        )
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        m = _normalize(np.array([np.asarray(v, dtype=np.float64) for v in vecs]))
+        signs = (m @ planes.T) > 0
+        powers = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series(signs.astype(np.int64) @ powers)
+
+    def _norm_col(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm_col(F.col(vec_col)).alias("nnorm"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
+    )
+    probe_array = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    qside = (
+        queries_df.select(
+            F.col(qid_col).alias("qid"),
+            F.col(qvec_col).alias("qvec"),
+            _norm_col(F.col(qvec_col)).alias("qnorm"),
+            bucket_udf(F.col(qvec_col)).alias("qbucket"),
+        )
+        .withColumn("bucket", F.explode(probe_array))
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "nvec", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qside.join(corpus, "bucket")
+        .withColumn(
+            "score",
+            F.when((F.col("qnorm") > 0) & (F.col("nnorm") > 0), dot / (F.col("qnorm") * F.col("nnorm"))).otherwise(F.lit(0.0)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor_id")
+        .orderBy("qid", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

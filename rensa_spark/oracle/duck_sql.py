@@ -238,29 +238,31 @@ SELECT doc_id,
 FROM grid GROUP BY doc_id ORDER BY doc_id"""
 
 
-def band_hash_ctes(cfg: RensaConfig, fold: int = 1) -> str:
-    """CTEs from ``grid(doc_id, i, slot)`` to ``bh(doc_id, band_idx,
+def band_hash_ctes(cfg: RensaConfig, fold: int = 1, prefix: str = "",
+                   grid: str = "grid") -> str:
+    """CTEs from ``grid(doc_id, i, slot)`` to ``{prefix}bh(doc_id, band_idx,
     band_hash)``: calculate_band_hash over each effective band's slots —
     u32 pairs packed little-first into u64, state = (state + val) * K per
     write, finish rotl(state, 26) (utils.rs:194-223 / kernels/fxhash.py
     band_hash_u64; fold-by-widening per src/lsh.rs:107-123)."""
     eff_size = (cfg.num_perm // cfg.num_bands) * fold
+    p = prefix
     return f"""
-bslots AS (
+{p}bslots AS (
     SELECT doc_id, (i // {eff_size})::INT AS band_idx,
            list(slot ORDER BY i) AS slots
-    FROM grid GROUP BY doc_id, (i // {eff_size})::INT),
-bvals AS (
+    FROM {grid} GROUP BY doc_id, (i // {eff_size})::INT),
+{p}bvals AS (
     SELECT doc_id, band_idx,
            list_transform(generate_series(0, {eff_size // 2 - 1}),
                           j -> slots[2*j + 1] + slots[2*j + 2] * {M32}) AS vals
-    FROM bslots),
-bstate AS (
+    FROM {p}bslots),
+{p}bstate AS (
     SELECT doc_id, band_idx,
            list_reduce(list_prepend(0::HUGEINT, vals),
                        (acc, v) -> {_lo64mul(f'((acc + v) % {M64})', str(K))}) AS state
-    FROM bvals),
-bh AS MATERIALIZED (SELECT doc_id, band_idx, {_rotl('state')} AS band_hash FROM bstate)"""
+    FROM {p}bvals),
+{p}bh AS MATERIALIZED (SELECT doc_id, band_idx, {_rotl('state')} AS band_hash FROM {p}bstate)"""
 
 
 def minhash_dup_flags_sql(cfg: RensaConfig) -> str:
@@ -331,7 +333,7 @@ def _rho_sampled_ctes(cfg: RensaConfig) -> str:
     med_budget = cfg.rho_medium_token_budget
     default_budget = cfg.default_token_budget or 0
     return f"""
-hlists AS (
+hlists AS MATERIALIZED (
     SELECT doc_id, list(h ORDER BY ord) AS hs, count(*) AS n
     FROM hashes GROUP BY doc_id),
 budgeted AS (
@@ -351,7 +353,7 @@ samp AS (
                 END AS shs
     FROM budgeted),
 rho_counts AS (SELECT doc_id, n FROM samp),
-sampled AS (SELECT doc_id, unnest(shs) AS h FROM samp)"""
+sampled AS MATERIALIZED (SELECT doc_id, unnest(shs) AS h FROM samp)"""
 
 
 def _rho_mixer_ctes(cfg: RensaConfig) -> str:
@@ -375,7 +377,7 @@ def _rho_mixer_ctes(cfg: RensaConfig) -> str:
         f"SELECT doc_id, (m{p} % {cfg.num_perm})::BIGINT AS bucket, (m{p} // {M32}) AS value FROM mix{probes - 1}"
         for p in range(probes)
     )
-    return ",\n".join(ctes) + f",\nprobes AS ({unpivot})"
+    return ",\n".join(ctes) + f",\nprobes AS MATERIALIZED ({unpivot})"
 
 
 def rho_sidecar_sql(cfg: RensaConfig) -> str:
@@ -388,7 +390,11 @@ WITH {shingle_hash_ctes(cfg)},
 {_rho_sampled_ctes(cfg)},
 {_rho_mixer_ctes(cfg)},
 occ AS (
-    SELECT doc_id, count(DISTINCT bucket) AS non_empty FROM probes GROUP BY doc_id)
+    -- a bucket whose min value is exactly u32::MAX is indistinguishable
+    -- from EMPTY_BUCKET in the kernel (rminhash.rs:86), so it does not
+    -- count as occupied
+    SELECT doc_id, count(DISTINCT bucket) AS non_empty
+    FROM probes WHERE value <> {M32 - 1} GROUP BY doc_id)
 SELECT d.doc_id,
        least(coalesce(c.n, 0), 65535)::BIGINT AS shingle_count,
        coalesce(o.non_empty, 0)::BIGINT AS non_empty,
@@ -454,6 +460,58 @@ SELECT v AS doc_id,
 FROM reach GROUP BY v ORDER BY v"""
 
 
+def multimodal_clusters_sql(cfg: RensaConfig, fp_base: int, fp_mod: int) -> str:
+    """Oracle for _q_multimodal_clusters: duplicate edges are the UNION of
+    equal-phash groups (here phash = the rolling-hash fingerprint of the
+    caption, the driver-table stand-in for an image perceptual hash) and
+    verified MinHash caption pairs; clusters via recursive reachability,
+    survivor = min key (operators/dedup.py:multimodal_dedup_clusters)."""
+    thr = cfg.threshold
+    return f"""
+WITH RECURSIVE {shingle_hash_ctes(cfg)},
+docs AS (SELECT doc_id FROM documents),
+{rminhash_slot_ctes(cfg)},
+{band_hash_ctes(cfg, fold=1)},
+cand AS MATERIALIZED (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bh x JOIN bh y
+      ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+     AND x.doc_id < y.doc_id),
+siglist AS MATERIALIZED (
+    SELECT doc_id, list(slot ORDER BY i) AS sl FROM grid GROUP BY doc_id),
+verified AS MATERIALIZED (
+    SELECT c.a, c.b
+    FROM cand c
+    JOIN siglist sa ON sa.doc_id = c.a
+    JOIN siglist sb ON sb.doc_id = c.b
+    WHERE len(list_filter(generate_series(1, {cfg.num_perm}),
+                          k -> sa.sl[k] = sb.sl[k]))::DOUBLE
+          / {cfg.num_perm} >= {thr}),
+fp AS (
+    SELECT doc_id,
+           CASE WHEN text = '' THEN 0
+                ELSE list_reduce(
+                    list_prepend(0::BIGINT,
+                        [unicode(ch)::BIGINT for ch in string_split_regex(text, '')]),
+                    (acc, cp) -> (acc * {fp_base} + cp) % {fp_mod})
+           END AS phash
+    FROM documents),
+fp_edges AS (
+    SELECT min(doc_id) OVER (PARTITION BY phash) AS a, doc_id AS b FROM fp),
+edges AS (
+    SELECT a, b FROM verified
+    UNION SELECT a, b FROM fp_edges WHERE a <> b),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach(v, u) AS (
+    SELECT doc_id, doc_id FROM docs
+    UNION
+    SELECT r.v, e.b FROM reach r JOIN sym e ON r.u = e.a)
+SELECT v AS doc_id,
+       min(u)::BIGINT AS cluster_id,
+       v = min(u) AS is_survivor
+FROM reach GROUP BY v ORDER BY v"""
+
+
 def add_if_unique_sql(cfg: RensaConfig) -> str:
     """Oracle for _q_add_if_unique (sequential greedy semantics,
     src/inline_dedup/rminhash.rs:233-299): process docs in key order; keep a
@@ -509,6 +567,129 @@ greedy AS (
 SELECT c.doc_id, list_contains(g.kept_keys, c.doc_id) AS kept
 FROM comp c JOIN greedy g ON g.cid = c.cid
 ORDER BY c.doc_id"""
+
+
+def rho_dup_flags_sql(cfg: RensaConfig) -> str:
+    """Oracle for _q_rho_dup_flags — the full refined one-shot decision flow
+    (src/lsh/one_shot.rs:78-185 / operators/lsh.py:one_shot_dup_flags_rho):
+
+    - rho digest = per-(doc, bucket) min of the 4-probe mixer values,
+      folded band hashes (fold=2 -> 4 bands of 32 slots) for the main scan,
+      unfolded (8x16) for the recall rescue;
+    - non-sparse members match any bucket of size >= 2; sparse members run
+      the capped row-order candidate scan (first cap+1 bucket members, up to
+      cap non-self checks) with the 8-slot verify signature (missing
+      signature passes, equal-slot fraction >= verify threshold otherwise);
+    - sparse rows need >= required_sparse band matches, others >= 1;
+    - zero-match non-sparse rows with token_count in the rescue window get a
+      second chance over unfolded bands (>= rescue_required matches).
+    """
+    fold = cfg.effective_band_fold(True, False)
+    cap = cfg.rho_sparse_verify_max_candidates
+    sv_perm = cfg.sparse_verify_perm_clamped
+    thr = cfg.rho_sparse_verify_threshold
+    occ_thr = cfg.sparse_occupancy_threshold
+    seeds = ", ".join(
+        f"({i}, {sparse_verify_seed(cfg, i)}::HUGEINT)" for i in range(sv_perm)
+    )
+    empty_sig = "[" + ", ".join([str(M32 - 1)] * sv_perm) + "]"
+    return f"""
+WITH {shingle_hash_ctes(cfg)},
+{_rho_sampled_ctes(cfg)},
+{_rho_mixer_ctes(cfg)},
+rsig AS MATERIALIZED (
+    SELECT doc_id, bucket, min(value) AS mn FROM probes GROUP BY doc_id, bucket),
+docs AS (SELECT doc_id FROM documents),
+slots_idx AS (SELECT unnest(generate_series(0, {cfg.num_perm - 1})) AS i),
+grid AS MATERIALIZED (
+    SELECT d.doc_id, b.i, coalesce(r.mn, {M32 - 1}) AS slot
+    FROM docs d CROSS JOIN slots_idx b
+    LEFT JOIN rsig r ON r.doc_id = d.doc_id AND r.bucket = b.i),
+{band_hash_ctes(cfg, fold=fold)},
+{band_hash_ctes(cfg, fold=1, prefix='r')},
+occ AS (
+    SELECT doc_id, count(DISTINCT bucket) AS non_empty
+    FROM probes WHERE value <> {M32 - 1} GROUP BY doc_id),
+side AS MATERIALIZED (
+    SELECT d.doc_id,
+           coalesce(o.non_empty, 0) < {occ_thr} AS is_sparse,
+           least(coalesce(c.n, 0), 65535) AS token_count
+    FROM docs d
+    LEFT JOIN occ o ON o.doc_id = d.doc_id
+    LEFT JOIN rho_counts c ON c.doc_id = d.doc_id),
+svseeds AS (SELECT * FROM (VALUES {seeds}) AS _v(i, s)),
+ssig AS MATERIALIZED (
+    SELECT sa.doc_id, v.i,
+           min({_sm64(_xor('sa.h', 'v.s'))} // {M32}) AS slot
+    FROM sampled sa CROSS JOIN svseeds v GROUP BY sa.doc_id, v.i),
+ssl AS MATERIALIZED (
+    SELECT doc_id, list(slot ORDER BY i) AS lst FROM ssig GROUP BY doc_id),
+ssiglist AS MATERIALIZED (
+    SELECT sd.doc_id,
+           CASE WHEN sd.is_sparse THEN coalesce(l.lst, {empty_sig}::HUGEINT[])
+           ELSE NULL END AS sl
+    FROM side sd LEFT JOIN ssl l ON l.doc_id = sd.doc_id),
+brows AS MATERIALIZED (
+    SELECT b.doc_id, b.band_idx, b.band_hash, s.is_sparse, g.sl
+    FROM bh b JOIN side s ON s.doc_id = b.doc_id
+    JOIN ssiglist g ON g.doc_id = b.doc_id),
+stats AS MATERIALIZED (
+    SELECT band_idx, band_hash, count(*) AS bs,
+           sum(CASE WHEN is_sparse THEN 1 ELSE 0 END) AS sc
+    FROM brows GROUP BY band_idx, band_hash),
+ns_matches AS (
+    SELECT b.doc_id, count(*) AS matches
+    FROM brows b JOIN stats t
+      ON t.band_idx = b.band_idx AND t.band_hash = b.band_hash AND t.bs >= 2
+    WHERE NOT b.is_sparse GROUP BY b.doc_id),
+ranked AS MATERIALIZED (
+    SELECT b.*, row_number() OVER (
+        PARTITION BY b.band_idx, b.band_hash ORDER BY b.doc_id) AS rn
+    FROM brows b JOIN stats t
+      ON t.band_idx = b.band_idx AND t.band_hash = b.band_hash
+     AND t.bs >= 2 AND t.sc >= 1),
+sp_matches AS (
+    SELECT doc_id, count(*) AS matches FROM (
+        SELECT me.doc_id, me.band_idx, me.band_hash,
+               bool_or(
+                   me.sl IS NULL OR cand.sl IS NULL
+                   OR (len(me.sl) = len(cand.sl) AND len(me.sl) > 0
+                       AND len(list_filter(generate_series(1, {sv_perm}),
+                                           k -> me.sl[k] = cand.sl[k]))::DOUBLE
+                           / len(me.sl) >= {thr})) AS band_matched
+        FROM ranked me
+        JOIN ranked cand
+          ON cand.band_idx = me.band_idx AND cand.band_hash = me.band_hash
+         AND cand.doc_id <> me.doc_id AND cand.rn <= {cap + 1}
+         AND (me.rn <= {cap + 1} OR cand.rn <= {cap})
+        WHERE me.is_sparse
+        GROUP BY me.doc_id, me.band_idx, me.band_hash) t
+    WHERE band_matched GROUP BY doc_id),
+allm AS (
+    SELECT s.doc_id, s.is_sparse, s.token_count,
+           coalesce(m.matches, 0) AS matches,
+           CASE WHEN s.is_sparse THEN {cfg.rho_sparse_required_band_matches}
+                ELSE 1 END AS required
+    FROM side s
+    LEFT JOIN (SELECT * FROM ns_matches UNION ALL SELECT * FROM sp_matches) m
+      ON m.doc_id = s.doc_id),
+rhot AS (
+    SELECT band_idx, band_hash FROM rbh
+    GROUP BY band_idx, band_hash HAVING count(*) >= 2),
+rescued AS (
+    SELECT r.doc_id
+    FROM rbh r
+    JOIN allm a ON a.doc_id = r.doc_id
+     AND a.matches = 0 AND a.required = 1
+     AND a.token_count BETWEEN {cfg.rho_recall_rescue_min_tokens}
+                           AND {cfg.rho_recall_rescue_max_tokens}
+    JOIN rhot h ON h.band_idx = r.band_idx AND h.band_hash = r.band_hash
+    GROUP BY r.doc_id
+    HAVING count(*) >= {cfg.rho_recall_rescue_required_band_matches})
+SELECT a.doc_id,
+       (a.matches >= a.required OR re.doc_id IS NOT NULL) AS is_dup
+FROM allm a LEFT JOIN rescued re ON re.doc_id = a.doc_id
+ORDER BY a.doc_id"""
 
 
 def sparse_verify_seed(cfg: RensaConfig, i: int) -> int:

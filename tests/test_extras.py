@@ -401,3 +401,120 @@ def test_multimodal_dedup_clusters(spark):
     for _, ids in pdf[pdf["caption"] != ""].groupby("caption")["image_id"].agg(list).items():
         if len(ids) >= 2:
             assert len({out[k]["cluster_id"] for k in ids}) == 1, ids
+
+
+def test_bucketed_topk_join_matches_broadcast_lane(spark, emb_df):
+    """The df<->df bucket-join ANN lane must reproduce the broadcast lane's
+    results exactly: same seeded hyperplanes, same 1-bit multiprobe set,
+    same exact cosine re-rank (ties broken by neighbor_id in both)."""
+    from rensa_spark.operators.similarity import (
+        bucketed_topk_join,
+        hyperplane_bucket_topk,
+    )
+
+    pdf = emb_df.limit(5).toPandas()
+    queries = pd.DataFrame({"qid": pdf["vec_id"], "vec": pdf["embedding"]})
+    broadcast = hyperplane_bucket_topk(
+        emb_df, "vec_id", "embedding", queries, k=5, n_planes=4
+    ).toPandas()
+    qdf = emb_df.filter("vec_id < 5").select("vec_id", "embedding")
+    joined = bucketed_topk_join(
+        emb_df, "vec_id", "embedding", qdf, "vec_id", "embedding",
+        k=5, n_planes=4, dim=64,
+    ).toPandas()
+    for qid in queries["qid"]:
+        b = set(broadcast[broadcast["qid"] == qid]["neighbor_id"])
+        j = set(joined[joined["qid"] == qid]["neighbor_id"])
+        assert b == j, (qid, b, j)
+        # rank 1 is the query itself (cosine 1.0)
+        sub = joined[joined["qid"] == qid].sort_values("rank")
+        assert sub.iloc[0]["neighbor_id"] == qid
+
+
+def test_byte_token_sig_parity(spark):
+    """array<binary> token columns produce the same signatures as the text
+    path when the bytes are the UTF-8 shingles (reference bytes-token input,
+    /root/reference/src/py_input.rs:11-18, tests/test_rensa.py:106-133)."""
+    from rensa_spark.functions.udfs import cminhash_sig_udf, rminhash_sig_udf
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three",
+        "",
+        "single",
+    ]
+
+    def shingles(t: str) -> list[bytes]:
+        toks = t.lower().split()
+        if not toks:
+            return []
+        if len(toks) < 3:
+            return [w.encode() for w in toks]
+        return [" ".join(toks[i : i + 3]).encode() for i in range(len(toks) - 2)]
+
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "key long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(i, shingles(t)) for i, t in enumerate(texts)],
+        "key long, toks array<binary>",
+    )
+    sig_t = rminhash_sig_udf(CFG)
+    sig_b = rminhash_sig_udf(CFG, from_bytes=True)
+    st = {r["key"]: list(r["s"]) for r in tdf.select("key", sig_t("text").alias("s")).collect()}
+    sb = {r["key"]: list(r["s"]) for r in bdf.select("key", sig_b("toks").alias("s")).collect()}
+    assert st == sb
+    csig_t = cminhash_sig_udf(CFG)
+    csig_b = cminhash_sig_udf(CFG, from_bytes=True)
+    ct = {r["key"]: list(r["s"]) for r in tdf.select("key", csig_t("text").alias("s")).collect()}
+    cb = {r["key"]: list(r["s"]) for r in bdf.select("key", csig_b("toks").alias("s")).collect()}
+    assert ct == cb
+    # raw non-UTF8 bytes are a legal token form of their own
+    raw = spark.createDataFrame(
+        [(0, [b"\xff\x00\xfe", b"\x01\x02"])], "key long, toks array<binary>"
+    )
+    out = raw.select(sig_b("toks").alias("s")).collect()[0]["s"]
+    assert len(out) == CFG.num_perm
+
+
+def test_lsh_index_get_duplicates_verified(spark, tmp_path):
+    """get_duplicates = LSH candidates FILTERED by signature jaccard >=
+    threshold (src/inline_dedup/rminhash.rs:321-360) — always a subset of
+    query()'s unverified candidates."""
+    from rensa_spark.operators.lsh_index import LshIndex
+
+    idx = LshIndex(spark, CFG, str(tmp_path / "lshv"))
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a", "b", "c"],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "totally different content with other words here",
+                ],
+            }
+        )
+    )
+    idx.insert(base)
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["q1", "q2"],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "no overlap with anything stored in here at all",
+                ],
+            }
+        )
+    )
+    dups = {r["key"]: list(r["duplicates"]) for r in idx.get_duplicates(q).collect()}
+    assert dups["q1"] == ["a", "b"]
+    assert dups["q2"] == []
+    cands = {r["key"]: set(r["candidates"]) for r in idx.query(q).collect()}
+    for k in dups:
+        assert set(dups[k]) <= cands[k]
+    # removal keeps bands and sigs consistent
+    idx.remove(spark.createDataFrame(pd.DataFrame({"key": ["a"]})))
+    dups2 = {r["key"]: list(r["duplicates"]) for r in idx.get_duplicates(q).collect()}
+    assert dups2["q1"] == ["b"]
