@@ -118,6 +118,29 @@ def main() -> None:
     )
     timings["synthetic_oneshot_dedup_200k"] = round(dedup_sec, 3)
 
+    # sparse-heavy rho lane (round-1 perf findings: the per-row sparse-verify
+    # sidecar loop + row-at-a-time candidate verify, both since vectorized):
+    # captions truncated to 8 tokens make every row sparse (8 tokens x 4
+    # probes << occupancy threshold 56), driving the refined flag path —
+    # sparse sigs, capped JVM pair verify, recall rescue — end-to-end
+    from rensa_spark.api import RhoEngine
+
+    sparse_corpus = corpus.select(
+        "image_id",
+        F.array_join(
+            F.slice(F.split(F.col("caption"), " "), 1, 8), " "
+        ).alias("caption"),
+    ).cache()
+    sparse_corpus.count()
+    engine = RhoEngine(cfg)
+    sparse_sec = best_of(
+        lambda: engine.dup_flags(sparse_corpus, "image_id", "caption")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    timings["synthetic_rho_sparse_200k"] = round(sparse_sec, 3)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     print(
@@ -131,6 +154,7 @@ def main() -> None:
                 "synthetic_rows": n_rows,
                 "sigs_per_sec": round(n_rows / sketch_sec, 1),
                 "dedup_rows_per_sec": round(n_rows / dedup_sec, 1),
+                "sparse_rho_rows_per_sec": round(n_rows / sparse_sec, 1),
                 "cpus": CPUS,
             }
         )
