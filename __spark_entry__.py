@@ -2,15 +2,16 @@
 
 ``entry(spark)`` — flagship one-shot MinHash dup-flag pipeline on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — DuckDB-runnable SQL equivalents where expressible.
+``oracle_sql()`` — DuckDB-runnable SQL equivalents.
 
-Oracle notes: the MinHash/LSH sketch math is not SQL-expressible; its
-bit-exactness is proven in tests/ against a pure-Python oracle
-(tests/test_kernels.py, tests/test_operators_spark.py). Where a query's
-*decision* coincides with an exactly-SQL-expressible rule on the driver
-corpus (e.g. one-shot flags on a corpus whose only duplicates are exact
-duplicates), the SQL oracle is registered; sketch-output queries are
-registered rows-only per the driver contract.
+Oracle notes: the sketch math (fxhash64, MinHash/CMinHash min-folds, band
+hashes, the Rho mixer and its refined decision flow) IS SQL-expressible —
+rensa_spark/oracle/duck_sql.py generates it as DuckDB HUGEINT SQL with
+permutation constants inlined from the same Xoshiro stream the UDFs use,
+and tests/test_duck_oracles.py proves each generated stage bit-exact
+against the numpy kernels. Only the float-hyperplane ANN lanes stay
+rows-only (no exact float semantics across engines); they are pytest-gated
+against the exact brute-force lane instead.
 """
 
 from __future__ import annotations
@@ -66,8 +67,8 @@ def _q_minhash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch output summarized to scalars (rows-only check: the u32 slot
-    values are not SQL-expressible; bit-exactness is pytest-verified)."""
+    """Sketch output summarized to scalars; hash-checked against the
+    generated DuckDB minhash SQL (oracle/duck_sql.py)."""
     from rensa_spark.functions.udfs import rminhash_sig_udf
 
     sig = rminhash_sig_udf(CFG)
@@ -106,7 +107,7 @@ def _q_cminhash_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_rho_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rho sketch sidecar columns (token budget / occupancy semantics,
-    src/rminhash/rho.rs). token_count is SQL-checkable; the rest rows-only."""
+    src/rminhash/rho.rs); hash-checked against the generated mixer SQL."""
     from rensa_spark.operators.dedup import sketch_rho
 
     return (
@@ -334,9 +335,10 @@ def _q_add_if_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_rho_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Refined rho one-shot flags (band folding + sparse gating + sparse
-    verify + recall rescue, src/lsh/one_shot.rs:78-185). Rows-only: the
-    refined control flow is pytest-verified against the pure-Python oracle
-    (tests/test_operators_spark.py::test_rho_flags_match_oracle)."""
+    verify + recall rescue, src/lsh/one_shot.rs:78-185); hash-checked
+    against the generated refined-flow SQL AND pytest-verified against the
+    pure-Python oracle (test_rho_flags_match_oracle,
+    test_sql_rho_dup_flags_match_pyrensa)."""
     from rensa_spark.api import RhoEngine
 
     return (
@@ -349,9 +351,9 @@ def _q_rho_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline: verified pairs -> connected components ->
-    survivors (README.md:100-122 recipe generalized per the north rule).
-    Rows-only (probabilistic edges); determinism across partitionings is
-    pytest-verified, recall vs reference clusters = 1.0 (tests/test_recall)."""
+    survivors (README.md:100-122 recipe generalized per the north rule);
+    hash-checked against recursive-CTE reachability SQL. Determinism across
+    partitionings is pytest-verified, recall vs reference clusters = 1.0."""
     from rensa_spark.operators.dedup import dedup_clusters
 
     return (
@@ -434,6 +436,17 @@ def _q_ann_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
     )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by the label column (the
+    blocked-exact lane of embedding dedup — blocking bounds the self-join)."""
+    from rensa_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", "label", min_cosine=0.3
+    ).orderBy("a", "b")
 
 
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "multimodal_clusters": _q_multimodal_clusters,
         "ann_topk_many": _q_ann_topk_many,
+        "embedding_near_dup": _q_embedding_near_dup,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_top_customers": _q_tpch_top_customers,
         "tpch_order_priority": _q_tpch_order_priority,
@@ -707,6 +721,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
             GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT label, vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM embeddings)
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_sum(list_transform(
+                             list_zip(x.embedding, y.embedding),
+                             p -> p[1]::DOUBLE * p[2]::DOUBLE))
+                         / (x.nrm * y.nrm), 6) AS cosine
+            FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+            WHERE list_sum(list_transform(
+                      list_zip(x.embedding, y.embedding),
+                      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+                  / (x.nrm * y.nrm) >= 0.3
+            ORDER BY a, b
         """,
     }
     return {

@@ -219,11 +219,16 @@ def bucketed_topk_join(
     def _norm_col(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
 
+    # coalesce makes the join key non-nullable: without it Catalyst pushes an
+    # isnotnull(bucket) filter below the projection and DUPLICATES the Python
+    # UDF (two ArrowEvalPython nodes = 2x Arrow serialization of every
+    # corpus vector; observed in the formatted plan). -1 is unreachable (the
+    # UDF never returns null), it exists only to fix the nullability.
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
         _norm_col(F.col(vec_col)).alias("nnorm"),
-        bucket_udf(F.col(vec_col)).alias("bucket"),
+        F.coalesce(bucket_udf(F.col(vec_col)), F.lit(-1)).alias("bucket"),
     )
     probe_array = F.array(
         F.col("qbucket"),
@@ -234,7 +239,7 @@ def bucketed_topk_join(
             F.col(qid_col).alias("qid"),
             F.col(qvec_col).alias("qvec"),
             _norm_col(F.col(qvec_col)).alias("qnorm"),
-            bucket_udf(F.col(qvec_col)).alias("qbucket"),
+            F.coalesce(bucket_udf(F.col(qvec_col)), F.lit(-1)).alias("qbucket"),
         )
         .withColumn("bucket", F.explode(probe_array))
     )
@@ -280,13 +285,17 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("vb"),
     )
+    # cast BEFORE the multiply: float32*float32 rounds to float32, which
+    # diverges from any float64 oracle (numpy or SQL) in the last bits
     dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
     )
     return (
         a.join(b, "blk")
