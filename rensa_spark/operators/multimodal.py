@@ -125,3 +125,123 @@ def verify_payload_invariants(
             }
         )
     return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------- video / audio lanes
+#
+# Same contract as images: opaque binary column + typed metadata, real Spark
+# plumbing (schema, Arrow batch shape, vectorized per-batch math), codecs for
+# container formats stubbed. 'rawv' is a trivial decodable format so the
+# sampling/fingerprint math is actually exercised end-to-end:
+#   rawv video: 6-byte header (u16le n_frames, u16le h, u16le w) + n*h*w
+#               grayscale uint8 frames
+#   rawa audio: 4-byte header (u32le sample_rate) + int16le PCM samples
+
+
+def decode_rawv(data: bytes) -> np.ndarray:
+    """(n_frames, h, w) uint8 from the rawv layout."""
+    head = np.frombuffer(data[:6], dtype=np.uint16)
+    n, h, w = int(head[0]), int(head[1]), int(head[2])
+    return np.frombuffer(data[6 : 6 + n * h * w], dtype=np.uint8).reshape(n, h, w)
+
+
+def encode_rawv(frames: np.ndarray) -> bytes:
+    n, h, w = frames.shape
+    return np.array([n, h, w], dtype=np.uint16).tobytes() + frames.tobytes()
+
+
+def frame_sample_indices(n_frames: int, k: int) -> np.ndarray:
+    """Deterministic evenly-spaced frame picks (midpoint rule): the same
+    closed form the Rho token sampler uses, so sampling is a pure function
+    of n_frames — stable across partitionings and resumes."""
+    k = min(k, n_frames)
+    return ((np.arange(k, dtype=np.int64) * 2 + 1) * n_frames) // (2 * k)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    key_col: str = "video_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    n_frames: int = 4,
+) -> DataFrame:
+    """One row per sampled frame: (key, frame_idx, frame_phash, mean_px).
+    rawv decodes for real; container formats (mp4/webm/...) raise
+    NotImplementedError inside the worker — no imaging/ffmpeg libraries in
+    this container; the plumbing is format-agnostic."""
+    from rensa_spark.sources.synthetic import phash_of_pixels
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = f"key {key_type}, frame_idx int, frame_phash long, mean_px double"
+
+    def gen(batches):
+        for pdf in batches:
+            keys, idxs, phs, means = [], [], [], []
+            for key, data, fmt in zip(pdf[key_col], pdf[bytes_col], pdf[fmt_col]):
+                if data is None:
+                    continue
+                if fmt != "rawv":
+                    raise NotImplementedError(
+                        f"video decoder for fmt={fmt!r} requires ffmpeg/imaging "
+                        "libraries not present in this container"
+                    )
+                frames = decode_rawv(bytes(data))
+                for fi in frame_sample_indices(frames.shape[0], n_frames):
+                    px = frames[int(fi)]
+                    keys.append(key)
+                    idxs.append(int(fi))
+                    # grayscale frame -> 3-channel for the shared phash
+                    phs.append(phash_of_pixels(np.repeat(px[:, :, None], 3, axis=2)))
+                    means.append(float(px.mean()))
+            yield pd.DataFrame(
+                {"key": keys, "frame_idx": np.array(idxs, dtype=np.int32),
+                 "frame_phash": np.array(phs, dtype=np.int64),
+                 "mean_px": np.array(means, dtype=np.float64)}
+            )
+
+    return df.select(key_col, bytes_col, fmt_col).mapInPandas(gen, schema)
+
+
+def audio_features(
+    df: DataFrame,
+    key_col: str = "audio_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """(key, n_samples, sample_rate, rms, zero_crossings) per clip — the
+    feature-extract stage of an audio dedup pipeline. rawa decodes for real
+    (vectorized numpy over the PCM buffer); mp3/flac/... stubbed."""
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = (
+        f"key {key_type}, n_samples long, sample_rate int, rms double, "
+        "zero_crossings long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for key, data, fmt in zip(pdf[key_col], pdf[bytes_col], pdf[fmt_col]):
+                if data is None:
+                    continue
+                if fmt != "rawa":
+                    raise NotImplementedError(
+                        f"audio decoder for fmt={fmt!r} requires codec "
+                        "libraries not present in this container"
+                    )
+                data = bytes(data)
+                sr = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
+                pcm = np.frombuffer(data[4:], dtype=np.int16).astype(np.float64)
+                rows.append(
+                    {
+                        "key": key,
+                        "n_samples": len(pcm),
+                        "sample_rate": sr,
+                        "rms": float(np.sqrt((pcm ** 2).mean())) if len(pcm) else 0.0,
+                        "zero_crossings": int((np.diff(np.signbit(pcm)) != 0).sum())
+                        if len(pcm) > 1
+                        else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["key", "n_samples", "sample_rate", "rms", "zero_crossings"])
+
+    return df.select(key_col, bytes_col, fmt_col).mapInPandas(gen, schema)

@@ -518,3 +518,55 @@ def test_lsh_index_get_duplicates_verified(spark, tmp_path):
     idx.remove(spark.createDataFrame(pd.DataFrame({"key": ["a"]})))
     dups2 = {r["key"]: list(r["duplicates"]) for r in idx.get_duplicates(q).collect()}
     assert dups2["q1"] == ["b"]
+
+
+def test_video_frame_sample_and_audio_features(spark):
+    """Video/audio lanes: real plumbing + real math on the raw formats,
+    deterministic frame picks, stubs raise for container formats."""
+    from rensa_spark.operators.multimodal import (
+        audio_features,
+        decode_rawv,
+        encode_rawv,
+        frame_sample_indices,
+        video_frame_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    vids = []
+    for vid in range(3):
+        frames = rng.integers(0, 256, size=(10 + vid, 8, 6), dtype=np.uint8)
+        vids.append((f"v{vid}", bytearray(encode_rawv(frames)), "rawv"))
+    vids.append(("vdup", bytearray(vids[0][1]), "rawv"))  # exact dup of v0
+    vdf = spark.createDataFrame(vids, "video_id string, bytes binary, fmt string")
+    out = video_frame_sample(vdf, n_frames=4).toPandas()
+    assert sorted(out["key"].unique()) == ["v0", "v1", "v2", "vdup"]
+    assert (out.groupby("key").size() == 4).all()
+    # sampling is a pure function of n_frames: indices match the closed form
+    got_idx = sorted(out[out["key"] == "v0"]["frame_idx"])
+    assert got_idx == list(frame_sample_indices(10, 4))
+    # duplicate video -> identical frame phashes in order
+    a = out[out["key"] == "v0"].sort_values("frame_idx")["frame_phash"].tolist()
+    b = out[out["key"] == "vdup"].sort_values("frame_idx")["frame_phash"].tolist()
+    assert a == b
+    # round-trip sanity of the raw codec
+    frames = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    assert (decode_rawv(encode_rawv(frames)) == frames).all()
+    # container formats are declared stubs
+    bad = spark.createDataFrame(
+        [("x", bytearray(b"\x00\x01"), "mp4")], "video_id string, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        video_frame_sample(bad).collect()
+
+    # audio: features equal direct numpy computation
+    sr = 16000
+    pcm = (np.sin(np.linspace(0, 440 * 2 * np.pi, sr)) * 20000).astype(np.int16)
+    blob = np.array([sr], dtype=np.uint32).tobytes() + pcm.tobytes()
+    adf = spark.createDataFrame(
+        [("a0", bytearray(blob), "rawa")], "audio_id string, bytes binary, fmt string"
+    )
+    feats = audio_features(adf).collect()[0]
+    ref = pcm.astype(np.float64)
+    assert feats["n_samples"] == sr and feats["sample_rate"] == sr
+    assert abs(feats["rms"] - float(np.sqrt((ref ** 2).mean()))) < 1e-9
+    assert feats["zero_crossings"] == int((np.diff(np.signbit(ref)) != 0).sum())

@@ -1,0 +1,79 @@
+"""Physical-plan regression guards: the scale properties PLANS.md claims are
+asserted here so a refactor cannot silently reintroduce a scan of the image
+bytes, an extra Python crossing, or a duplicated UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from rensa_spark.config import RensaConfig
+
+CFG = RensaConfig(num_perm=128, seed=42, threshold=0.8, num_bands=8, ngram_size=3)
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def image_table(spark, tmp_path_factory):
+    """An input_hint-shaped table (image_id, bytes, w, h, fmt, caption,
+    phash) written to parquet so scan pruning is observable."""
+    import pandas as pd
+
+    from rensa_spark.sources.synthetic import generate_corpus
+
+    pdf = generate_corpus(500, seed=3, with_images=True)
+    path = str(tmp_path_factory.mktemp("plans") / "images.parquet")
+    pd.DataFrame(pdf).to_parquet(path, index=False)
+    return spark.read.parquet(path)
+
+
+def test_flagship_plan_prunes_bytes_and_single_crossing(image_table):
+    """dup_flags hot path: ReadSchema has no image bytes, exactly one
+    Python crossing, at most two exchanges (PLANS.md flagship audit)."""
+    from rensa_spark.operators.dedup import dup_flags
+
+    plan = _formatted_plan(dup_flags(image_table, CFG, "image_id", "caption"))
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "bytes" not in scan, scan
+    assert "caption" in scan
+    assert len(re.findall(r"\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\) ArrowEvalPython", plan)) == 0
+    assert len(re.findall(r"\) Exchange", plan)) <= 2
+
+
+def test_ann_bucket_join_no_udf_duplication(spark, image_table):
+    """bucketed_topk_join: exactly one bucket-UDF evaluation per side (the
+    nullable-join-key isnotnull pushdown used to duplicate the corpus-side
+    UDF; guarded by the coalesce fix in similarity.py)."""
+    from rensa_spark.operators.similarity import bucketed_topk_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _formatted_plan(
+        bucketed_topk_join(
+            emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+            k=3, n_planes=4, dim=64,
+        )
+    )
+    assert len(re.findall(r"\) ArrowEvalPython", plan)) == 2
+
+
+def test_multimodal_clusters_never_scan_bytes(image_table):
+    """The multimodal dedup hot path reads only (image_id, caption, phash)
+    even though the table carries pixel payloads (north rule / SURVEY §7
+    hard part 6)."""
+    from rensa_spark.operators.dedup import multimodal_dedup_clusters
+
+    plan = _formatted_plan(
+        multimodal_dedup_clusters(image_table, CFG, "image_id", "caption", "phash")
+    )
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "bytes" not in line, line
