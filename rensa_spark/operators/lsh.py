@@ -192,29 +192,45 @@ def one_shot_dup_flags_rho(
             (F.col("bucket_size") >= 2) & (F.col("sparse_cnt") >= 1)
         ).select("band_idx", "band_hash")
         members = bands.join(sparse_buckets, ["band_idx", "band_hash"], "leftsemi")
+        # Only the candidate side needs row order: the rn <= cap+1 filter
+        # right above the row_number turns the window into a
+        # WindowGroupLimit (per-bucket top-k heap), so a degenerate hot
+        # bucket never fully sorts. The member side carries no rn at all —
+        # whether the member itself sits within the first cap+1 (which
+        # widens its candidate set from rn<=cap to rn<=cap+1) is recovered
+        # from the pair rows as bool_or(cand_key == key).
         w = Window.partitionBy("band_idx", "band_hash").orderBy("key")
-        ranked = members.withColumn("rn", F.row_number().over(w))
-        first_k = ranked.filter(F.col("rn") <= cap + 1).select(
-            "band_idx",
-            "band_hash",
-            F.col("key").alias("cand_key"),
-            F.col("sparse_sig").alias("cand_sig"),
-            F.col("rn").alias("cand_rn"),
+        first_k = (
+            members.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap + 1)
+            .select(
+                "band_idx",
+                "band_hash",
+                F.col("key").alias("cand_key"),
+                F.col("sparse_sig").alias("cand_sig"),
+                F.col("rn").alias("cand_rn"),
+            )
         )
+        match_col = _sparse_verify_match_col(
+            F.col("sparse_sig"), F.col("cand_sig"), cfg.rho_sparse_verify_threshold
+        )
+        nonself = F.col("cand_key") != F.col("key")
         sp_matches = (
-            ranked.filter(F.col("is_sparse"))
+            bands.filter(F.col("is_sparse"))
             .join(first_k, ["band_idx", "band_hash"])
-            .filter(F.col("cand_key") != F.col("key"))
-            .filter((F.col("rn") <= cap + 1) | (F.col("cand_rn") <= cap))
-            .withColumn(
-                "matched",
-                _sparse_verify_match_col(
-                    F.col("sparse_sig"), F.col("cand_sig"), cfg.rho_sparse_verify_threshold
+            .groupBy("key", "band_idx", "band_hash")
+            .agg(
+                F.max(~nonself).alias("me_in_firstk"),
+                F.max(nonself & match_col).alias("matched_all"),
+                F.max(nonself & (F.col("cand_rn") <= cap) & match_col).alias(
+                    "matched_capped"
                 ),
             )
-            .groupBy("key", "band_idx", "band_hash")
-            .agg(F.max("matched").alias("band_matched"))
-            .filter("band_matched")
+            .filter(
+                F.when(F.col("me_in_firstk"), F.col("matched_all")).otherwise(
+                    F.col("matched_capped")
+                )
+            )
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("matches"))
         )
