@@ -275,32 +275,37 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b) within a blocking key —
     the blocked-exact lane of embedding dedup (blocking bounds the join)."""
-    a = df.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("a"),
-        F.col(vec_col).alias("va"),
-    )
-    b = df.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("b"),
-        F.col(vec_col).alias("vb"),
-    )
     # cast BEFORE the multiply: float32*float32 rounds to float32, which
-    # diverges from any float64 oracle (numpy or SQL) in the last bits
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # diverges from any float64 oracle (numpy or SQL) in the last bits.
+    # Norms are per-ROW quantities — compute them once per side before the
+    # join (inside the join each would be re-evaluated per PAIR: O(pairs*dim)
+    # wasted work, ~3x the whole query's cost at 100 members/block).
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         a.join(b, "blk")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= min_cosine)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )

@@ -570,3 +570,43 @@ def test_video_frame_sample_and_audio_features(spark):
     assert feats["n_samples"] == sr and feats["sample_rate"] == sr
     assert abs(feats["rms"] - float(np.sqrt((ref ** 2).mean()))) < 1e-9
     assert feats["zero_crossings"] == int((np.diff(np.signbit(ref)) != 0).sum())
+
+
+def test_connected_components_fuzz_large(spark):
+    """CC large/small-star vs union-find on denser random graphs (multiple
+    seeds, n=2000) — the round-1 test covered n=200; this covers long
+    chains, multi-merge rounds, and self-loop-free dense components."""
+    import random
+
+    from rensa_spark.operators.cc import connected_components
+
+    for seed, n, m in [(7, 2000, 1500), (8, 2000, 4000)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(f"n{a:05d}", f"n{b:05d}") for a, b in edges if a != b]
+        parent = {f"n{i:05d}": f"n{i:05d}" for i in range(n)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in edges:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        want = {}
+        for node in parent:
+            root = find(node)
+            want.setdefault(root, set()).add(node)
+        want_min = {node: min(members) for members in want.values() for node in members}
+
+        df = spark.createDataFrame(edges, "a string, b string")
+        got = {r["key"]: r["cluster_id"] for r in connected_components(df).collect()}
+        touched = {v for e in edges for v in e}
+        # contract: nodes that ARE their component's minimum may be omitted
+        # (survivors() fills them with their own key)
+        for k in touched:
+            assert got.get(k, k) == want_min[k], (k, got.get(k), want_min[k])
+        assert set(got) <= touched
