@@ -323,6 +323,16 @@ def _q_simhash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-verified near-dup pairs: chunk-bucket candidates
+    (complete for hamming < n_chunks by pigeonhole) + JVM popcount verify."""
+    from rensa_spark.operators.similarity import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), CFG, "doc_id", "text", n_chunks=4, max_hamming=3
+    ).orderBy("a", "b")
+
+
 def _q_add_if_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rensa_spark.operators.dedup import add_if_unique
 
@@ -537,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "events_hourly_stats": _q_events_hourly_stats,
         "simhash_dup_flags": _q_simhash_dup_flags,
+        "simhash_near_pairs": _q_simhash_near_pairs,
         "add_if_unique": _q_add_if_unique,
         "substring_overlap": _q_substring_overlap,
         "rho_dup_flags": _q_rho_dup_flags,
@@ -681,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_flags": D.minhash_dup_flags_sql(CFG),
         "rho_sidecar": D.rho_sidecar_sql(CFG),
         "simhash_dup_flags": D.simhash_dup_flags_sql(CFG),
+        "simhash_near_pairs": D.simhash_near_pairs_sql(CFG),
         "bpe_piece_counts": D.bpe_piece_counts_sql(),
         "minhash_clusters": D.minhash_clusters_sql(CFG),
         "add_if_unique": D.add_if_unique_sql(CFG),

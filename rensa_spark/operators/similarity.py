@@ -311,6 +311,83 @@ def embedding_near_dup_pairs(
     )
 
 
+def simhash_signatures(
+    df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str
+) -> DataFrame:
+    """(key, sig): 64-bit simhash over word n-gram shingles (int64
+    bit-pattern, kernels/simhash.py)."""
+
+    def gen(batches):
+        from rensa_spark.kernels.shingle import shingle_hashes_batch
+        from rensa_spark.kernels.simhash import simhash_from_flat
+
+        for pdf in batches:
+            flat, offs = shingle_hashes_batch(pdf[text_col], cfg.ngram_size)
+            yield pd.DataFrame(
+                {"key": pdf[key_col].values, "sig": simhash_from_flat(flat, offs)}
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, text_col).mapInPandas(gen, f"key {key_type}, sig long")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    cfg: RensaConfig,
+    key_col: str,
+    text_col: str,
+    n_chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming): pairs with simhash hamming distance <= max_hamming.
+
+    Candidates come from shared 16-bit chunk buckets; by pigeonhole a pair
+    within hamming < n_chunks MUST share at least one unchanged chunk, so
+    for max_hamming < n_chunks the candidate set is COMPLETE and the result
+    is exactly every pair within the hamming bound — no recall loss, fully
+    SQL-checkable. Verification is one JVM bit_count over the xor; only
+    (key, sig) longs ever shuffle."""
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            "max_hamming must be < n_chunks for the chunk-bucket candidates "
+            "to be complete (pigeonhole)"
+        )
+    sigs = simhash_signatures(df, cfg, key_col, text_col)
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned("sig", c * bits).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
+        ]
+    )
+    chunks = sigs.select(
+        "key", "sig", F.posexplode(chunk_arr).alias("chunk_idx", "chunk_val")
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.key") < F.col("y.key")),
+        )
+        .select(
+            F.col("x.key").alias("a"),
+            F.col("y.key").alias("b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def simhash_dup_flags(
     df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str, n_chunks: int = 4
 ) -> DataFrame:

@@ -320,6 +320,54 @@ SELECT doc_id, bool_or(bucket_size >= 2) AS is_dup
 FROM sized GROUP BY doc_id ORDER BY doc_id"""
 
 
+def simhash_near_pairs_sql(cfg: RensaConfig, n_chunks: int = 4,
+                           max_hamming: int = 3) -> str:
+    """Oracle for _q_simhash_near_pairs: pairs sharing >=1 simhash chunk
+    with xor-popcount <= max_hamming (exactly the operator's definition;
+    complete for max_hamming < n_chunks by pigeonhole). popcount runs on
+    two 32-bit halves — DuckDB bit_count is not defined on HUGEINT."""
+    bits = 64 // n_chunks
+    pow2 = ", ".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))
+    x = "xor(sa.sig, sb.sig)"
+    ham = (
+        f"(bit_count(({x} % {M32})::BIGINT) + bit_count(({x} // {M32})::BIGINT))"
+    )
+    return f"""
+WITH {shingle_hash_ctes(cfg)},
+pow2 AS (SELECT * FROM (VALUES {pow2}) AS _b(j, p)),
+bitsum AS (
+    SELECT h2.doc_id, b.j,
+           sum(((h2.h // b.p) % 2)::BIGINT) AS ones,
+           count(*) AS n,
+           max(b.p) AS p
+    FROM hashes h2 CROSS JOIN pow2 b
+    GROUP BY h2.doc_id, b.j),
+docsim AS MATERIALIZED (
+    SELECT d.doc_id,
+           coalesce(s.sig, 0::HUGEINT) AS sig
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN (SELECT doc_id,
+                      sum(CASE WHEN ones * 2 > n THEN p ELSE 0::HUGEINT END)::HUGEINT AS sig
+               FROM bitsum GROUP BY doc_id) s ON s.doc_id = d.doc_id),
+chunks AS MATERIALIZED (
+    SELECT doc_id, c.band_idx,
+           (sig // cp.p) % {1 << bits} AS band_hash
+    FROM docsim
+    CROSS JOIN (SELECT unnest(generate_series(0, {n_chunks - 1})) AS band_idx) c
+    JOIN pow2 cp ON cp.j = c.band_idx * {bits}),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM chunks x JOIN chunks y
+      ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+     AND x.doc_id < y.doc_id)
+SELECT c.a, c.b, {ham}::BIGINT AS hamming
+FROM cand c
+JOIN docsim sa ON sa.doc_id = c.a
+JOIN docsim sb ON sb.doc_id = c.b
+WHERE {ham} <= {max_hamming}
+ORDER BY a, b"""
+
+
 # ----------------------------------------------------------------- Rho
 
 

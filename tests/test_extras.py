@@ -610,3 +610,32 @@ def test_connected_components_fuzz_large(spark):
         for k in touched:
             assert got.get(k, k) == want_min[k], (k, got.get(k), want_min[k])
         assert set(got) <= touched
+
+
+def test_simhash_near_pairs_complete_vs_bruteforce(spark):
+    """For max_hamming < n_chunks the chunk-bucket candidate set is complete
+    (pigeonhole) — the operator must return EVERY pair within the hamming
+    bound, equal to a brute-force numpy scan."""
+    from rensa_spark.kernels.shingle import shingle_hashes_batch
+    from rensa_spark.kernels.simhash import hamming64, simhash_from_flat
+    from rensa_spark.operators.similarity import simhash_near_pairs
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(300)
+    flat, offs = shingle_hashes_batch(list(pdf["text"]), CFG.ngram_size)
+    sigs = simhash_from_flat(flat, offs)
+    ids = list(pdf["doc_id"])
+    want = set()
+    for i in range(len(ids)):
+        d = hamming64(np.repeat(sigs[i : i + 1], len(ids) - i - 1), sigs[i + 1 :])
+        for j, dist in enumerate(d):
+            if dist <= 3:
+                a, b = sorted((ids[i], ids[i + 1 + j]))
+                want.add((a, b, int(dist)))
+    df = spark.createDataFrame(pdf[["doc_id", "text"]])
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_pairs(df, CFG, "doc_id", "text").collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        simhash_near_pairs(df, CFG, "doc_id", "text", n_chunks=4, max_hamming=4)
