@@ -352,7 +352,13 @@ def simhash_near_pairs(
             "max_hamming must be < n_chunks for the chunk-bucket candidates "
             "to be complete (pigeonhole)"
         )
-    sigs = simhash_signatures(df, cfg, key_col, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # the chunk self-join consumes this lineage twice — persist or the
+    # simhash UDF (one Python crossing) runs once per join side
+    sigs = simhash_signatures(df, cfg, key_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
     chunk_arr = F.array(
