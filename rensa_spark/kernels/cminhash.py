@@ -21,7 +21,9 @@ U32 = np.uint32
 U64 = np.uint64
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-_SLAB_ELEMS = 8 << 20
+# see kernels/rminhash.py — same sweep, same winner; the round-1 8<<20
+# setting was ~3.5x slower (64 MiB u64 slab thrashes every cache level)
+_SLAB_ELEMS = 1 << 16
 
 
 def cminhash_matrix64(

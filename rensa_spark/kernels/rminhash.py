@@ -17,10 +17,13 @@ U32 = np.uint32
 U64 = np.uint64
 U32_MAX = np.uint32(0xFFFFFFFF)
 
-# cap the (tokens x num_perm) intermediate per slab. 2^18 elems = 2 MiB
-# (2048 tokens at num_perm=128) measured best across short- and long-doc
-# corpora: large slabs thrash cache, tiny slabs pay per-row loop overhead.
-_SLAB_ELEMS = 1 << 18
+# cap the (tokens x num_perm) intermediate per slab. 2^16 elems = 512 KiB
+# of u64 (512 tokens at num_perm=128): re-measured in round 2 on clean
+# best-of-3 sweeps over BOTH short-caption and long-document corpora —
+# 2^16-2^17 ties for fastest, 2^18 is ~1.4x slower (the permuted slab falls
+# out of L2), 2^20+ is ~2.8x slower. Output is slab-size-invariant
+# (tests/test_kernels chunking invariance).
+_SLAB_ELEMS = 1 << 16
 
 
 def rminhash_matrix(
