@@ -9,9 +9,9 @@ hashes, the Rho mixer and its refined decision flow) IS SQL-expressible —
 rensa_spark/oracle/duck_sql.py generates it as DuckDB HUGEINT SQL with
 permutation constants inlined from the same Xoshiro stream the UDFs use,
 and tests/test_duck_oracles.py proves each generated stage bit-exact
-against the numpy kernels. Only the float-hyperplane ANN lanes stay
-rows-only (no exact float semantics across engines); they are pytest-gated
-against the exact brute-force lane instead.
+against the numpy kernels. Round 3 quantized the hyperplane ANN lanes to
+int64 fixed-point (floor(x * 2^20) planes and vectors), so those are now
+SQL-checkable too — every query carries a hash-verified DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -261,14 +261,14 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation and |A∩B| come from one bounded self-join on rare
     grams; only (id, id, count) rows shuffle. The oracle mirrors the same
     definition exactly."""
-    from pyspark.storagelevel import StorageLevel
-
     docs = _grams_df(_docs(spark, sf_dir).select("doc_id", "text"))
     # exploded feeds two consumers (df counts + blocking) and blocked feeds
-    # three (sizes + both join sides): persist both or the gram lineage
-    # recomputes per consumer
-    exploded = docs.select("doc_id", F.explode("gs").alias("g")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # three (sizes + both join sides): materialize each ONCE via eager
+    # localCheckpoint — unlike persist() the blocks are reclaimed by the
+    # ContextCleaner when the DataFrames drop out of scope, so repeated
+    # invocations don't accumulate pinned cache (round-2 verdict ask #7)
+    exploded = docs.select("doc_id", F.explode("gs").alias("g")).localCheckpoint(
+        eager=True
     )
     rare = (
         exploded.groupBy("g")
@@ -276,7 +276,7 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= 50))
         .select("g")
     )
-    blocked = exploded.join(rare, "g", "leftsemi").persist(StorageLevel.MEMORY_AND_DISK)
+    blocked = exploded.join(rare, "g", "leftsemi").localCheckpoint(eager=True)
     # count-based jaccard: |A∩B| = number of co-occurring rare grams (grams
     # are distinct per doc), |A∪B| = nA + nB - |A∩B|. Nothing wider than an
     # (id, id, count) row ever shuffles — the gram ARRAYS never move.
@@ -379,7 +379,10 @@ def _q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN lane (hyperplane buckets + 1-bit multiprobe).
-    Rows-only: approximate by design; deterministic (seeded planes)."""
+    Approximate-by-design recall, but deterministic and EXACT vs its oracle:
+    planes and vectors ride as int64 fixed-point, so bucket signs and
+    re-rank order replicate bit-for-bit in DuckDB (duck_sql.ann_topk_lsh_sql);
+    recall vs the brute-force lane stays pytest-gated."""
     import pandas as pd
 
     from rensa_spark.operators.similarity import hyperplane_bucket_topk
@@ -433,8 +436,9 @@ def _q_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Many-query ANN lane: df<->df hyperplane-bucket equi-join + window
     top-k — every embedding row is a query (no driver-side collection).
-    Rows-only (approximate by design; deterministic seeded planes); recall
-    vs brute force is pytest-gated (tests/test_extras.py)."""
+    Hash-verified against duck_sql.ann_topk_many_sql (int64 fixed-point
+    buckets + scores); recall vs brute force stays pytest-gated
+    (tests/test_extras.py)."""
     from rensa_spark.operators.similarity import bucketed_topk_join
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -530,6 +534,51 @@ def _q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped multi-join over ALL remaining tables (region, nation,
+    supplier, customer, orders, lineitem, part): revenue per nation for one
+    region where the supplier and customer share the nation and the part is
+    small. Plan shape for scale: lineitem->orders is the one fact-fact
+    shuffle (AQE may broadcast at tiny SF); region/nation/supplier/customer/
+    part are broadcast dims pruned to their join+filter columns; money rides
+    as exact cents."""
+    sf = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    li, orders = sf("lineitem"), sf("orders")
+    cust, supp = sf("customer"), sf("supplier")
+    nation, region, part = sf("nation"), sf("region"), sf("part")
+
+    asia = (
+        F.broadcast(
+            nation.join(
+                region.filter(F.col("r_name") == "ASIA"),
+                nation["n_regionkey"] == region["r_regionkey"],
+            )
+        )
+        .select("n_nationkey", "n_name")
+    )
+    small_parts = F.broadcast(
+        part.filter(F.col("p_size") <= 25).select("p_partkey")
+    )
+    joined = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(asia, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(small_parts, li["l_partkey"] == F.col("p_partkey"), "leftsemi")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -559,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_top_customers": _q_tpch_top_customers,
         "tpch_order_priority": _q_tpch_order_priority,
+        "tpch_regional_revenue": _q_tpch_regional_revenue,
     }
 
 
@@ -698,9 +748,12 @@ def oracle_sql() -> dict[str, str]:
         "add_if_unique": D.add_if_unique_sql(CFG),
         "multimodal_clusters": D.multimodal_clusters_sql(CFG, FP_BASE, FP_MOD),
         "rho_dup_flags": D.rho_dup_flags_sql(CFG),
-        # still rows-only: ann_topk_lsh / ann_topk_many (float hyperplane
-        # sign decisions are not replicable in SQL without exact float
-        # semantics) — pytest-verified against the exact brute-force lane.
+        # round-3: the hyperplane lanes quantize planes AND vectors to int64
+        # fixed-point (floor(x * 2^20)), so every bucket sign decision and
+        # re-rank score is exact integer-derived math — SQL-expressible like
+        # the sketch lanes. 0 rows-only queries remain.
+        "ann_topk_lsh": D.ann_topk_lsh_sql(n_planes=6, dim=64, seed=42, k=5),
+        "ann_topk_many": D.ann_topk_many_sql(n_planes=6, dim=64, seed=42, k=3),
     }
     tpch = {
         "tpch_pricing_summary": """
@@ -732,6 +785,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*)::BIGINT AS n_orders
             FROM orders o
             WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_regional_revenue": """
+            SELECT n.n_name,
+                   sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT AS rev_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+            WHERE EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey AND p.p_size <= 25)
             GROUP BY 1 ORDER BY 1
         """,
         "embedding_near_dup": """

@@ -46,6 +46,51 @@ _SEED1 = np.uint64(0x243F6A8885A308D3)
 _PHI = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _mix_u32_np(v: np.ndarray) -> np.ndarray:
+    """mix_u32 (rho.rs:42-49), vectorized over uint32 arrays."""
+    v = v.astype(U32, copy=True)
+    v ^= v >> U32(16)
+    v *= U32(0x7FEB352D)
+    v ^= v >> U32(15)
+    v *= U32(0x846CA68B)
+    return v ^ (v >> U32(16))
+
+
+def rho_densify_np(digest: np.ndarray, seed: int) -> None:
+    """In-place circular densify (densify_rho_row, rho.rs:535-577) over the
+    whole (rows, num_perm) matrix at once — no per-row Python (the last
+    kernel-side row loop, round-2 verdict ask #6). All-empty rows are left
+    untouched (scalar parity: the early return). For each empty slot the
+    fill value mixes the next non-empty slot's value with the slot index,
+    circular probe distance and seed, exactly as the scalar oracle."""
+    rows, n = digest.shape
+    if rows == 0 or n == 0:
+        return
+    nonempty = digest != U32(EMPTY_BUCKET)
+    live = nonempty.any(axis=1) & ~nonempty.all(axis=1)
+    if not live.any():
+        return
+    d = digest[live]
+    ne = nonempty[live]
+    ar = np.arange(n, dtype=np.int64)
+    # next non-empty index scanning forward cyclically: suffix-min of
+    # positions over the doubled index axis (position := j where slot j%n is
+    # non-empty, else +inf-ish)
+    big = np.int64(4 * n)
+    pos = np.where(ne, ar[None, :], big)
+    doubled = np.concatenate([pos, np.where(ne, ar[None, :] + n, big)], axis=1)
+    suf = np.minimum.accumulate(doubled[:, ::-1], axis=1)[:, ::-1]
+    nxtpos = suf[:, :n]  # first non-empty position >= idx (cyclic), < 2n
+    cand = (nxtpos % n).astype(np.int64)
+    probe = (nxtpos - ar[None, :]).astype(np.int64)  # circular distance
+    value = np.take_along_axis(d, cand, axis=1)
+    idx_mix = (ar.astype(np.int64) * 0x9E3779B9).astype(U32)
+    probe_mix = (probe * 0x85EBCA6B).astype(U32)
+    seed_mix = U32((((seed & 0xFFFFFFFF) * 0xC2B2AE35) & 0xFFFFFFFF))
+    fill = _mix_u32_np(value ^ idx_mix[None, :] ^ probe_mix ^ seed_mix)
+    digest[live] = np.where(ne, d, fill)
+
+
 @dataclass
 class RhoMatrix:
     digest: np.ndarray  # (rows, num_perm) uint32
@@ -161,12 +206,7 @@ def rho_matrix(
                 mixed = splitmix64_np(mixed ^ RHO_SALTS[(probe + 1) & 3])
     digest = digest.reshape(rows, num_perm)
     if cfg.rho_densify:
-        from rensa_spark.oracle.pyrensa import rho_densify_py
-
-        for r in range(rows):  # densify is off by default; parity path only
-            row = digest[r].tolist()
-            rho_densify_py(row, cfg.seed)
-            digest[r] = row
+        rho_densify_np(digest, cfg.seed)
 
     non_empty_counts = (digest != U32(EMPTY_BUCKET)).sum(axis=1)
     sparse = non_empty_counts < cfg.sparse_occupancy_threshold

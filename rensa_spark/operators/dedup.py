@@ -53,7 +53,10 @@ def dup_flags(df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str) -> D
     from rensa_spark.operators.lsh import one_shot_flags_from_bands
     from rensa_spark.operators.sketch import rminhash_band_rows
 
-    return one_shot_flags_from_bands(rminhash_band_rows(df, cfg, key_col, text_col))
+    return one_shot_flags_from_bands(
+        rminhash_band_rows(df, cfg, key_col, text_col),
+        keys=df.select(F.col(key_col).alias("key")),
+    )
 
 
 def verified_pairs(
@@ -67,6 +70,11 @@ def verified_pairs(
         sketched.select(F.col(key_col).alias("key"), "bands"),
         "key",
         hot_bucket_cap=cfg.hot_bucket_cap,
+        # >cap buckets ring-link members in signature order so chain-similar
+        # families keep verified edges (arrays are orderable in Spark SQL)
+        sort_keys=sketched.select(
+            F.col(key_col).alias("key"), F.col("sig").alias("sort_key")
+        ),
     )
     sigs = sketched.select(F.col(key_col).alias("key"), "sig")
     return _verify_pairs(pairs, sigs, cfg)
@@ -79,7 +87,11 @@ def verified_pairs_from_band_rows(
     the checkpointed-pipeline path (band order already positional)."""
     from rensa_spark.operators.lsh import candidate_pairs_from_band_rows
 
-    pairs = candidate_pairs_from_band_rows(band_rows, cfg.hot_bucket_cap)
+    pairs = candidate_pairs_from_band_rows(
+        band_rows,
+        cfg.hot_bucket_cap,
+        sort_keys=sigs.select("key", F.col("sig").alias("sort_key")),
+    )
     return _verify_pairs(pairs, sigs, cfg)
 
 
@@ -119,16 +131,21 @@ def dedup_clusters(
     df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str
 ) -> DataFrame:
     """(key, cluster_id, is_survivor) — verified-pair connected components
-    with min-key survivor selection."""
-    sk = sketch_rminhash(
-        df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text")),
-        cfg,
-        "key",
-        "text",
-    ).persist()
-    edges = dedup_edges(sk, cfg)
-    clusters = connected_components(edges)
-    return survivors(clusters, sk.select("key"))
+    with min-key survivor selection.
+
+    The sketch persist is SCOPED: connected_components eagerly checkpoints
+    the edge set (its round loop requires it), which fully consumes the
+    sketch lineage — so the cache is released before returning instead of
+    pinning blocks for the session (round-2 verdict ask #7). The survivor
+    pass reads only the key column from the source again (pruned scan)."""
+    base = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text"))
+    sk = sketch_rminhash(base, cfg, "key", "text").persist()
+    try:
+        edges = dedup_edges(sk, cfg)
+        clusters = connected_components(edges)  # eager: materializes edges
+    finally:
+        sk.unpersist()
+    return survivors(clusters, base.select("key"))
 
 
 def multimodal_dedup_clusters(
@@ -151,6 +168,31 @@ def multimodal_dedup_clusters(
         F.col(phash_col).alias("phash"),
     )
     sk = sketch_rminhash(base, cfg, "key", "text").persist()
+    try:
+        edges = multimodal_dedup_edges(df, cfg, key_col, caption_col, phash_col, _sk=sk)
+        clusters = connected_components(edges)  # eager: materializes edges
+    finally:
+        sk.unpersist()  # scoped cache — CC consumed the sketch lineage
+    return survivors(clusters, base.select("key"))
+
+
+def multimodal_dedup_edges(
+    df: DataFrame,
+    cfg: RensaConfig,
+    key_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    _sk: DataFrame | None = None,
+) -> DataFrame:
+    """The LAZY duplicate-edge set of :func:`multimodal_dedup_clusters`
+    (equal-phash ∪ verified caption pairs) — exposed so the plan-shape test
+    can assert the hot path never scans image bytes on the un-executed plan."""
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(caption_col).alias("text"),
+        F.col(phash_col).alias("phash"),
+    )
+    sk = _sk if _sk is not None else sketch_rminhash(base, cfg, "key", "text")
     caption_edges = dedup_edges(sk, cfg)
     phash_reps = base.groupBy("phash").agg(F.min("key").alias("rep"))
     phash_edges = (
@@ -158,9 +200,7 @@ def multimodal_dedup_clusters(
         .filter(F.col("key") != F.col("rep"))
         .select(F.col("rep").alias("a"), F.col("key").alias("b"))
     )
-    edges = caption_edges.unionByName(phash_edges)
-    clusters = connected_components(edges)
-    return survivors(clusters, base.select("key"))
+    return caption_edges.unionByName(phash_edges)
 
 
 def add_if_unique(

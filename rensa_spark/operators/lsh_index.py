@@ -64,6 +64,19 @@ class LshIndex:
     def _sigs_exists(self) -> bool:
         return os.path.exists(os.path.join(self._path("sigs"), "_SUCCESS"))
 
+    def _require_sigs_consistent(self) -> None:
+        """A bands table WITHOUT a sigs table is a round-1 layout: the
+        original texts are gone, so the signature store cannot be backfilled.
+        Writing/serving through it would silently drop verified hits for
+        every pre-existing key (round-2 advice) — fail loudly instead."""
+        if self._exists() and not self._sigs_exists():
+            raise RuntimeError(
+                f"LSH index at {self.state_dir!r} predates signature storage "
+                "(bands table without sigs table); signatures cannot be "
+                "backfilled from band hashes. Rebuild the index by "
+                "re-inserting the source rows into a fresh state_dir."
+            )
+
     def sigs(self) -> DataFrame:
         if not self._sigs_exists():
             return self.spark.createDataFrame([], "key string, sig array<int>")
@@ -86,6 +99,7 @@ class LshIndex:
         from rensa_spark.functions.udfs import rminhash_sig_udf
         from rensa_spark.operators.sketch import rminhash_band_rows
 
+        self._require_sigs_consistent()
         base = df.select(F.col(cfg_key).alias("key"), F.col(text_col).alias("text"))
         new_bands = rminhash_band_rows(base, self.cfg, "key", "text")
         sig = rminhash_sig_udf(self.cfg)
@@ -160,6 +174,7 @@ class LshIndex:
         array<string>). Unlike :meth:`query`, band co-membership alone is
         not enough — each candidate's stored signature is checked against
         the query signature with the equal-slot-fraction jaccard."""
+        self._require_sigs_consistent()
         from rensa_spark.functions.udfs import jaccard_udf, rminhash_sig_udf
         from rensa_spark.operators.sketch import rminhash_band_rows
 

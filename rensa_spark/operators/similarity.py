@@ -95,6 +95,42 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return g[:n].reshape(n_planes, dim)
 
 
+# fixed-point scale for hyperplane/vector quantization: 2^20 keeps every
+# intermediate exact — |component| < 2^23 after scaling, dot products < 2^53,
+# so int64 never overflows and int->double conversions are lossless
+QUANT_SCALE = 1 << 20
+
+
+def quantized_hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """int64 hyperplanes = floor(gaussian * 2^20). Quantizing the planes (and
+    the vectors, see :func:`quantize_vecs`) makes every bucket sign decision
+    EXACT int64 arithmetic — bit-reproducible across Spark, numpy and the
+    DuckDB oracle (round-2 verdict ask #4: no float sign decisions)."""
+    return np.floor(_hyperplanes(dim, n_planes, seed) * QUANT_SCALE).astype(
+        np.int64
+    )
+
+
+def quantize_vecs(m: np.ndarray) -> np.ndarray:
+    """float -> int64 fixed-point: floor(v * 2^20). float32 inputs widen to
+    float64 exactly and the power-of-two scaling is exact, so floor is the
+    only (deterministic, engine-independent) rounding step."""
+    return np.floor(m.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+
+
+def _quant_scores(mq: np.ndarray, qq: np.ndarray) -> np.ndarray:
+    """(rows, nq) scores = dot / (|a| * |b|) from int64 fixed-point vectors.
+    Every input to the float expression is an exact integer < 2^53 and the
+    expression shape (sqrt, mul, div — each correctly rounded once) is the
+    same one the SQL oracle evaluates, so the doubles are bit-identical."""
+    dots = (mq @ qq.T).astype(np.float64)
+    na = np.sqrt((mq * mq).sum(axis=1).astype(np.float64))  # (rows,)
+    nb = np.sqrt((qq * qq).sum(axis=1).astype(np.float64))  # (nq,)
+    denom = na[:, None] * nb[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0, dots / denom, 0.0)
+
+
 def hyperplane_bucket_topk(
     df: DataFrame,
     id_col: str,
@@ -105,18 +141,27 @@ def hyperplane_bucket_topk(
     seed: int = 42,
 ) -> DataFrame:
     """ANN top-k: random-hyperplane sign buckets + 1-bit multiprobe, exact
-    re-rank within candidate buckets. Recall < 1 by design; the scale path."""
+    re-rank within candidate buckets. Recall < 1 by design; the scale path.
+
+    All math is int64 fixed-point (floor(x * 2^20) planes AND vectors):
+    bucket signs are exact integer comparisons and the re-rank score is a
+    fixed-shape float expression over exact integers, so the result is
+    bit-reproducible across engines and SQL-checkable (verdict ask #4);
+    sign(dot) is scale-invariant, so skipping normalization changes nothing.
+    """
     planes = None
 
-    def bucket_of(m: np.ndarray) -> np.ndarray:
-        signs = (m @ planes.T) > 0  # (rows, planes)
+    def bucket_of(mq: np.ndarray) -> np.ndarray:
+        signs = (mq @ planes.T) > 0  # (rows, planes) — exact int64
         powers = (1 << np.arange(n_planes, dtype=np.int64))
         return signs.astype(np.int64) @ powers
 
     dim = len(np.asarray(queries["vec"].iloc[0]))
-    planes = _hyperplanes(dim, n_planes, seed)
-    qmat = _normalize(np.array([np.asarray(v, dtype=np.float64) for v in queries["vec"]]))
-    q_buckets = bucket_of(qmat)
+    planes = quantized_hyperplanes(dim, n_planes, seed)
+    qq = quantize_vecs(
+        np.array([np.asarray(v, dtype=np.float64) for v in queries["vec"]])
+    )
+    q_buckets = bucket_of(qq)
     # multiprobe: query bucket + all 1-bit flips
     probe_sets = []
     for qi, b in enumerate(q_buckets):
@@ -135,26 +180,28 @@ def hyperplane_bucket_topk(
             if not len(pdf):
                 continue
             ids = pdf[id_col].values
-            m = _normalize(
+            mq = quantize_vecs(
                 np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             )
-            buckets = bucket_of(m)
+            buckets = bucket_of(mq)
             keep = np.isin(buckets, wanted_arr)
             if not keep.any():
                 continue
-            ids, m, buckets = ids[keep], m[keep], buckets[keep]
-            scores = m @ qmat.T
+            ids, mq, buckets = ids[keep], mq[keep], buckets[keep]
+            scores = _quant_scores(mq, qq)
             out = []
             for qi in range(len(qids)):
                 cand = np.isin(buckets, np.array(sorted(probe_sets[qi]), dtype=np.int64))
                 if not cand.any():
                     continue
                 s = scores[cand, qi]
-                top = min(k, len(s))
-                sel = np.argpartition(-s, top - 1)[:top]
+                cids = ids[cand]
+                # TIE-SAFE partition top-k (argpartition would cut score ties
+                # at the k boundary arbitrarily): lexsort on (-score, id)
+                sel = np.lexsort((cids, -s))[: min(k, len(s))]
                 out.append(
                     pd.DataFrame(
-                        {"qid": qids[qi], "neighbor_id": ids[cand][sel], "score": s[sel]}
+                        {"qid": qids[qi], "neighbor_id": cids[sel], "score": s[sel]}
                     )
                 )
             if out:
@@ -204,20 +251,28 @@ def bucketed_topk_join(
                 queries_df.select(qvec_col).filter(F.col(qvec_col).isNotNull()).first()[0]
             )
         )
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = quantized_hyperplanes(dim, n_planes, seed)
 
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import LongType
 
     @pandas_udf(LongType())
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        m = _normalize(np.array([np.asarray(v, dtype=np.float64) for v in vecs]))
-        signs = (m @ planes.T) > 0
+        mq = quantize_vecs(np.array([np.asarray(v, dtype=np.float64) for v in vecs]))
+        signs = (mq @ planes.T) > 0  # exact int64 sign decisions
         powers = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series(signs.astype(np.int64) @ powers)
 
-    def _norm_col(c):
-        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    def _qvec(c):
+        # int64 fixed-point vector, JVM-side (floor(v * 2^20), exact)
+        return F.transform(
+            c, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
+        )
+
+    def _n2(name):
+        return F.aggregate(
+            name, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        )
 
     # coalesce makes the join key non-nullable: without it Catalyst pushes an
     # isnotnull(bucket) filter below the projection and DUPLICATES the Python
@@ -226,10 +281,9 @@ def bucketed_topk_join(
     # UDF never returns null), it exists only to fix the nullability.
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        _norm_col(F.col(vec_col)).alias("nnorm"),
+        _qvec(F.col(vec_col)).alias("nvec"),
         F.coalesce(bucket_udf(F.col(vec_col)), F.lit(-1)).alias("bucket"),
-    )
+    ).withColumn("nn2", _n2("nvec"))
     probe_array = F.array(
         F.col("qbucket"),
         *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
@@ -237,22 +291,29 @@ def bucketed_topk_join(
     qside = (
         queries_df.select(
             F.col(qid_col).alias("qid"),
-            F.col(qvec_col).alias("qvec"),
-            _norm_col(F.col(qvec_col)).alias("qnorm"),
+            _qvec(F.col(qvec_col)).alias("qvec"),
             F.coalesce(bucket_udf(F.col(qvec_col)), F.lit(-1)).alias("qbucket"),
         )
+        .withColumn("qn2", _n2("qvec"))
         .withColumn("bucket", F.explode(probe_array))
     )
+    # exact int64 dot; the score expression shape (int->double, sqrt, mul,
+    # div — each correctly rounded once over exact integers) matches the
+    # DuckDB oracle bit-for-bit
     dot = F.aggregate(
-        F.zip_with("qvec", "nvec", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
+        F.zip_with("qvec", "nvec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     scored = (
         qside.join(corpus, "bucket")
         .withColumn(
             "score",
-            F.when((F.col("qnorm") > 0) & (F.col("nnorm") > 0), dot / (F.col("qnorm") * F.col("nnorm"))).otherwise(F.lit(0.0)),
+            F.when(
+                (F.col("qn2") > 0) & (F.col("nn2") > 0),
+                dot.cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double"))),
+            ).otherwise(F.lit(0.0)),
         )
     )
     from pyspark.sql import Window
@@ -331,6 +392,118 @@ def simhash_signatures(
     return df.select(key_col, text_col).mapInPandas(gen, f"key {key_type}, sig long")
 
 
+def _simhash_group_pairs(
+    dsig: DataFrame, n_chunks: int, max_hamming: int, hot_chunk_cap: int
+) -> DataFrame:
+    """(ga, gb, hamming): all pairs of DISTINCT signatures within the hamming
+    bound, from a (gid, sig) table of unique sigs.
+
+    Level 1: shared 16-bit chunk buckets (pigeonhole-complete for
+    max_hamming < n_chunks). Buckets over ``hot_chunk_cap`` members are NOT
+    self-joined directly (a 16-bit value domain makes every bucket ~n/65536
+    members at large n => O(n^2/65536) join rows); instead they recurse on a
+    SECOND pigeonhole over the remaining 48 bits split into ``n_chunks``
+    sub-chunks: the pair shares chunk c, so all <= max_hamming differing
+    bits lie in the other 48, and max_hamming < n_chunks sub-chunks means
+    >=1 sub-chunk is also identical — candidates stay complete while hot
+    bucket membership shrinks by ~2^12 per level. Exact, not approximate.
+    """
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    rem_bits = 64 - bits
+    sub_bits = rem_bits // n_chunks
+
+    def chunk_struct(c: int):
+        val = F.shiftrightunsigned("sig", c * bits).bitwiseAND(F.lit(mask))
+        # the other 48 bits packed contiguously (python-literal shift counts:
+        # a column-valued shift of 64 would wrap to 0 under Java semantics)
+        low = F.col("sig").bitwiseAND(F.lit((1 << (c * bits)) - 1))
+        if c == n_chunks - 1:
+            rem = low
+        else:
+            high = F.shiftleft(
+                F.shiftrightunsigned("sig", (c + 1) * bits), c * bits
+            )
+            rem = low.bitwiseOR(high)
+        return F.struct(val.alias("chunk_val"), rem.alias("rem"))
+
+    chunks = dsig.select(
+        "gid",
+        "sig",
+        F.posexplode(F.array(*[chunk_struct(c) for c in range(n_chunks)])).alias(
+            "chunk_idx", "cv"
+        ),
+    ).select("gid", "sig", "chunk_idx", "cv.chunk_val", "cv.rem")
+    sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    sized = chunks.join(
+        sizes.filter(F.col("bucket_size") >= 2), ["chunk_idx", "chunk_val"]
+    )
+
+    small = sized.filter(F.col("bucket_size") <= hot_chunk_cap).select(
+        "chunk_idx", "chunk_val", "gid", "sig"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    small_pairs = (
+        small.alias("x")
+        .join(
+            small.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.gid") < F.col("y.gid")),
+        )
+        .select(
+            F.col("x.gid").alias("ga"),
+            F.col("y.gid").alias("gb"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+    )
+
+    def sub_val(j: int):
+        width = sub_bits + (rem_bits % n_chunks if j == n_chunks - 1 else 0)
+        return F.shiftrightunsigned("rem", j * sub_bits).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    hot = sized.filter(F.col("bucket_size") > hot_chunk_cap).select(
+        "chunk_idx",
+        "chunk_val",
+        "gid",
+        "sig",
+        F.posexplode(F.array(*[sub_val(j) for j in range(n_chunks)])).alias(
+            "sub_idx", "sub_val"
+        ),
+    )
+    hot_pairs = (
+        hot.alias("x")
+        .join(
+            hot.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.sub_idx") == F.col("y.sub_idx"))
+            & (F.col("x.sub_val") == F.col("y.sub_val"))
+            & (F.col("x.gid") < F.col("y.gid")),
+        )
+        .select(
+            F.col("x.gid").alias("ga"),
+            F.col("y.gid").alias("gb"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+    )
+    # hamming-filter BEFORE the dedup so distinct() sees only true near
+    # pairs, never the candidate multiset
+    return (
+        small_pairs.unionByName(hot_pairs)
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ga", "gb", "hamming")
+        .distinct()
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     cfg: RensaConfig,
@@ -338,60 +511,84 @@ def simhash_near_pairs(
     text_col: str,
     n_chunks: int = 4,
     max_hamming: int = 3,
+    hot_chunk_cap: int = 4096,
+    expand_salts: int = 16,
 ) -> DataFrame:
-    """(a, b, hamming): pairs with simhash hamming distance <= max_hamming.
+    """(a, b, hamming): ALL pairs with simhash hamming distance <= max_hamming.
 
     Candidates come from shared 16-bit chunk buckets; by pigeonhole a pair
     within hamming < n_chunks MUST share at least one unchanged chunk, so
     for max_hamming < n_chunks the candidate set is COMPLETE and the result
     is exactly every pair within the hamming bound — no recall loss, fully
     SQL-checkable. Verification is one JVM bit_count over the xor; only
-    (key, sig) longs ever shuffle."""
+    (key, sig) longs ever shuffle.
+
+    Scale shape (round-3 hardening): identical signatures are collapsed to
+    one representative BEFORE any join — a degenerate corpus (10k empty /
+    boilerplate docs => one sig) contributes ONE row to candidate
+    generation, and its (output-sized, unavoidable) hamming-0 pair expansion
+    is salted over ``expand_salts`` reducers instead of one straggler task.
+    Distinct-sig chunk buckets above ``hot_chunk_cap`` recurse on a second
+    pigeonhole over the remaining 48 bits (see _simhash_group_pairs). The
+    result set is bit-identical to the naive all-rows self-join.
+    """
     if max_hamming >= n_chunks:
         raise ValueError(
             "max_hamming must be < n_chunks for the chunk-bucket candidates "
             "to be complete (pigeonhole)"
         )
-    from pyspark.storagelevel import StorageLevel
+    # Each checkpoint is consumed by >=2 downstream branches; eager
+    # localCheckpoint materializes the (narrow) rows once and — unlike
+    # persist() — its blocks are reclaimed by the ContextCleaner when the
+    # DataFrame goes out of scope, so repeated invocations in one session
+    # don't accumulate pinned cache (round-2 advice).
+    sigs = simhash_signatures(df, cfg, key_col, text_col).localCheckpoint(
+        eager=True
+    )  # one Python crossing, consumed by groups + members
+    groups = (
+        sigs.groupBy("sig")
+        .agg(F.min("key").alias("gid"), F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    members = sigs.join(groups.select("sig", "gid"), "sig").localCheckpoint(
+        eager=True
+    )
 
-    # the chunk self-join consumes this lineage twice — persist or the
-    # simhash UDF (one Python crossing) runs once per join side
-    sigs = simhash_signatures(df, cfg, key_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # within-group pairs: hamming 0 by construction. Output-sized work —
+    # spread over expand_salts tasks (left side keyed by hash(key), right
+    # side replicated per salt: each unordered pair matches exactly once).
+    multi = groups.filter(F.col("cnt") >= 2).select("gid")
+    m = members.join(multi, "gid", "leftsemi")
+    left = m.select(
+        "gid",
+        F.col("key").alias("a"),
+        F.pmod(F.xxhash64("key"), F.lit(expand_salts)).cast("int").alias("salt"),
     )
-    bits = 64 // n_chunks
-    mask = (1 << bits) - 1
-    chunk_arr = F.array(
-        *[
-            F.shiftrightunsigned("sig", c * bits).bitwiseAND(F.lit(mask))
-            for c in range(n_chunks)
-        ]
+    right = m.select("gid", F.col("key").alias("b")).withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(expand_salts)]))
     )
-    chunks = sigs.select(
-        "key", "sig", F.posexplode(chunk_arr).alias("chunk_idx", "chunk_val")
+    within = (
+        left.join(right, ["gid", "salt"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).cast("long").alias("hamming"))
     )
-    cand = (
-        chunks.alias("x")
-        .join(
-            chunks.alias("y"),
-            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
-            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
-            & (F.col("x.key") < F.col("y.key")),
-        )
+
+    # cross-group pairs over DISTINCT sigs only, then multiplicity expansion
+    gpairs = _simhash_group_pairs(
+        groups.select("gid", "sig"), n_chunks, max_hamming, hot_chunk_cap
+    )
+    ma = members.select(F.col("gid").alias("ga"), F.col("key").alias("ka"))
+    mb = members.select(F.col("gid").alias("gb"), F.col("key").alias("kb"))
+    cross = (
+        gpairs.join(ma, "ga")
+        .join(mb, "gb")
         .select(
-            F.col("x.key").alias("a"),
-            F.col("y.key").alias("b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
+            F.least("ka", "kb").alias("a"),
+            F.greatest("ka", "kb").alias("b"),
+            "hamming",
         )
-        .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
-    )
+    return within.unionByName(cross)
 
 
 def simhash_dup_flags(
@@ -431,4 +628,6 @@ def simhash_dup_flags(
     )
     from rensa_spark.operators.lsh import one_shot_flags_from_bands
 
-    return one_shot_flags_from_bands(bands)
+    return one_shot_flags_from_bands(
+        bands, keys=df.select(F.col(key_col).alias("key"))
+    )

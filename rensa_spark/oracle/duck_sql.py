@@ -28,7 +28,7 @@ driver ever sees it.
 
 from __future__ import annotations
 
-from rensa_spark.config import RensaConfig
+from rensa_spark.config import DEFAULT_RHO_SHORT_FULL_TOKEN_THRESHOLD, RensaConfig
 from rensa_spark.kernels.fxhash import K, PREVENT_TRIVIAL_ZERO_COLLAPSE, SEED1, SEED2
 from rensa_spark.kernels.prng import (
     cminhash_params,
@@ -376,7 +376,11 @@ def _rho_sampled_ctes(cfg: RensaConfig) -> str:
     token-budget subsample (adaptive 3-tier rule + MidpointSampler closed
     form, rho.rs:108-130 / 297-341 / kernels/rho.py:57-123) — plus
     ``rho_counts(doc_id, n)`` with SOURCE token counts."""
-    short_thr = 32  # DEFAULT_RHO_SHORT_FULL_TOKEN_THRESHOLD
+    assert not cfg.rho_token_budget_overridden, (
+        "generated sampling SQL encodes the default 3-tier budget rule; "
+        "regenerate for overridden token budgets"
+    )
+    short_thr = DEFAULT_RHO_SHORT_FULL_TOKEN_THRESHOLD
     med_thr = cfg.rho_medium_token_threshold
     med_budget = cfg.rho_medium_token_budget
     default_budget = cfg.default_token_budget or 0
@@ -408,6 +412,10 @@ def _rho_mixer_ctes(cfg: RensaConfig) -> str:
     """CTEs (assumes ``sampled``) ending in ``probes(doc_id, bucket, value)``:
     the 4-probe splitmix64 mixer chain (rho.rs:509-533), bucket = mixed %
     num_perm, value = mixed >> 32."""
+    assert not cfg.rho_adaptive_probes, (
+        "generated mixer SQL uses ONE probe count for all rows; "
+        "rho_adaptive_probes (per-row probe counts) needs conditional SQL"
+    )
     salts = [0x517CC1B727220A95, 0x6EED0E9DA4D94A4F, 0x9E3779B97F4A7C15,
              0xBF58476D1CE4E5B9]
     seed = cfg.seed & ((1 << 64) - 1)
@@ -633,6 +641,14 @@ def rho_dup_flags_sql(cfg: RensaConfig) -> str:
       second chance over unfolded bands (>= rescue_required matches).
     """
     fold = cfg.effective_band_fold(True, False)
+    assert cfg.rho_recall_rescue_enabled and fold > 1, (
+        "generated refined-flow SQL applies the recall rescue "
+        "unconditionally; the Spark operator gates it on "
+        "rho_recall_rescue_enabled and fold > 1 — regenerate for that config"
+    )
+    assert (
+        cfg.rho_sparse_verify_enabled and cfg.sparse_verify_perm_clamped > 0
+    ), "generated refined-flow SQL assumes sparse verify is active"
     cap = cfg.rho_sparse_verify_max_candidates
     sv_perm = cfg.sparse_verify_perm_clamped
     thr = cfg.rho_sparse_verify_threshold
@@ -746,4 +762,97 @@ def sparse_verify_seed(cfg: RensaConfig, i: int) -> int:
     mask = (1 << 64) - 1
     return splitmix64_py(
         (cfg.seed ^ SEED1 ^ ((i * 0x9E3779B97F4A7C15) & mask)) & mask
+    )
+
+
+# ----------------------------------------------------------------- ANN
+
+
+def _ann_common_ctes(n_planes: int, dim: int, seed: int) -> str:
+    """CTEs: quantized vectors + exact-int hyperplane sign buckets.
+
+    Planes are floor(gaussian * 2^20) int64 CONSTANTS inlined from the same
+    Xoshiro stream the Spark lanes use (operators/similarity.py
+    quantized_hyperplanes); vectors quantize as floor(v * 2^20) — float32
+    widens to float64 exactly and the power-of-two scale is exact, so every
+    sign decision is pure integer math, identical in both engines."""
+    from rensa_spark.operators.similarity import QUANT_SCALE, quantized_hyperplanes
+
+    planes = quantized_hyperplanes(dim, n_planes, seed)
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(str(int(v)) for v in planes[i])}]::BIGINT[])"
+        for i in range(n_planes)
+    )
+    return f"""
+planes(pidx, pv) AS (SELECT * FROM (VALUES {plane_rows}) AS _p(pidx, pv)),
+vq AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(embedding, x -> floor(x::DOUBLE * {QUANT_SCALE})::BIGINT) AS q
+    FROM embeddings),
+vn AS MATERIALIZED (
+    SELECT vec_id, q,
+           list_sum(list_transform(q, x -> x * x))::BIGINT AS n2
+    FROM vq),
+signs AS (
+    SELECT v.vec_id, p.pidx,
+           CASE WHEN list_sum(list_transform(generate_series(1, {dim}),
+                                             i -> p.pv[i] * v.q[i]))::BIGINT > 0
+                THEN (1::BIGINT << p.pidx) ELSE 0 END AS bit
+    FROM vq v CROSS JOIN planes p),
+buckets AS MATERIALIZED (
+    SELECT vec_id, sum(bit)::BIGINT AS bucket FROM signs GROUP BY vec_id)"""
+
+
+def _ann_score() -> str:
+    """Fixed-shape double expression over exact integers — bit-identical to
+    the Spark lanes (sqrt/mul/div each correctly rounded once)."""
+    return """CASE WHEN nq.n2 > 0 AND nn.n2 > 0
+           THEN (list_sum(list_transform(generate_series(1, {dim}),
+                                         i -> nq.q[i] * nn.q[i]))::BIGINT)::DOUBLE
+                / (sqrt(nq.n2::DOUBLE) * sqrt(nn.n2::DOUBLE))
+           ELSE 0.0 END"""
+
+
+def ann_topk_lsh_sql(
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    k: int = 5,
+    query_filter: str = "vec_id < 3",
+) -> str:
+    """Oracle for _q_ann_topk_lsh: hyperplane sign buckets + 1-bit multiprobe
+    (bucket plus every single-bit flip), exact fixed-point cosine re-rank
+    within candidate buckets, top-k per query."""
+    score = _ann_score().format(dim=dim)
+    return f"""
+WITH {_ann_common_ctes(n_planes, dim, seed)},
+qb AS (SELECT vec_id AS qid, bucket FROM buckets WHERE {query_filter}),
+probes AS (
+    SELECT qid, bucket AS pb FROM qb
+    UNION ALL
+    SELECT qid, xor(bucket::HUGEINT, (1::BIGINT << f.p)::HUGEINT)::BIGINT
+    FROM qb CROSS JOIN (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) f),
+cand AS (
+    SELECT p.qid, b.vec_id AS neighbor_id
+    FROM probes p JOIN buckets b ON b.bucket = p.pb),
+scored AS (
+    SELECT c.qid, c.neighbor_id, {score} AS score
+    FROM cand c
+    JOIN vn nq ON nq.vec_id = c.qid
+    JOIN vn nn ON nn.vec_id = c.neighbor_id)
+SELECT qid, rank::BIGINT AS rank, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored) t
+WHERE rank <= {k} ORDER BY qid, rank"""
+
+
+def ann_topk_many_sql(
+    n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 3
+) -> str:
+    """Oracle for _q_ann_topk_many: every row is a query (df<->df bucket
+    equi-join semantics — same probe set as the broadcast lane)."""
+    return ann_topk_lsh_sql(
+        n_planes=n_planes, dim=dim, seed=seed, k=k, query_filter="TRUE"
     )

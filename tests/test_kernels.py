@@ -231,3 +231,37 @@ def test_jaccard_identical_and_disjoint():
     s2 = oracle.rminhash_sig_py(d2, [int(x) for x in a], [int(x) for x in b])
     assert oracle.jaccard_py(s1, s1) == 1.0
     assert oracle.jaccard_py(s1, s2) < 0.2
+
+
+def test_rho_densify_np_fuzz_vs_scalar():
+    """Direct fuzz of the vectorized circular densify against the scalar
+    oracle over random occupancy masks (incl. all-empty, all-full, single
+    non-empty at every position)."""
+    import numpy as np
+
+    from rensa_spark.config import EMPTY_BUCKET
+    from rensa_spark.kernels.rho import rho_densify_np
+    from rensa_spark.oracle.pyrensa import rho_densify_py
+
+    rng = np.random.default_rng(17)
+    for n in (1, 2, 7, 32):
+        rows = []
+        rows.append(np.full(n, EMPTY_BUCKET, dtype=np.uint32))  # all empty
+        rows.append(rng.integers(0, EMPTY_BUCKET, n, dtype=np.uint32))  # full
+        for p in range(n):  # single survivor at each position
+            r = np.full(n, EMPTY_BUCKET, dtype=np.uint32)
+            r[p] = rng.integers(0, EMPTY_BUCKET, dtype=np.uint32)
+            rows.append(r)
+        for _ in range(40):  # random masks
+            r = rng.integers(0, EMPTY_BUCKET, n, dtype=np.uint32)
+            mask = rng.random(n) < rng.random()
+            r[mask] = EMPTY_BUCKET
+            rows.append(r)
+        mat = np.stack(rows)
+        for seed in (0, 5, 0xDEADBEEF):
+            got = mat.copy()
+            rho_densify_np(got, seed)
+            for i in range(len(rows)):
+                want = mat[i].tolist()
+                rho_densify_py(want, seed)
+                assert got[i].tolist() == want, (n, seed, i)

@@ -36,17 +36,34 @@ def image_table(spark, tmp_path_factory):
 
 
 def test_flagship_plan_prunes_bytes_and_single_crossing(image_table):
-    """dup_flags hot path: ReadSchema has no image bytes, exactly one
-    Python crossing, at most two exchanges (PLANS.md flagship audit)."""
+    """dup_flags hot path, round-3 shape: the sketch stage (band rows) reads
+    no image bytes and crosses Python exactly once; the flag stage consumes
+    the checkpointed band rows with NO per-bucket window sort (the skew
+    cliff the round-2 verdict flagged), only map-side-combining aggregates
+    and a salted semi-join, and its keys side is a pruned byte-free scan."""
     from rensa_spark.operators.dedup import dup_flags
+    from rensa_spark.operators.sketch import rminhash_band_rows
 
-    plan = _formatted_plan(dup_flags(image_table, CFG, "image_id", "caption"))
-    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # stage 1: the single Python crossing, bytes pruned at the scan
+    band_plan = _formatted_plan(
+        rminhash_band_rows(image_table, CFG, "image_id", "caption")
+    )
+    scan = next(l for l in band_plan.splitlines() if "ReadSchema" in l)
     assert "bytes" not in scan, scan
     assert "caption" in scan
-    assert len(re.findall(r"\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\) MapInPandas", band_plan)) == 1
+    assert len(re.findall(r"\) ArrowEvalPython", band_plan)) == 0
+    assert len(re.findall(r"\) Exchange", band_plan)) == 0
+
+    # stage 2: flags over the (checkpointed) band rows — skew-proof shape
+    plan = _formatted_plan(dup_flags(image_table, CFG, "image_id", "caption"))
+    assert len(re.findall(r"\) Window", plan)) == 0  # no single-bucket sort
+    assert len(re.findall(r"\) Sort", plan)) == 0
     assert len(re.findall(r"\) ArrowEvalPython", plan)) == 0
-    assert len(re.findall(r"\) Exchange", plan)) <= 2
+    assert len(re.findall(r"\) Exchange", plan)) <= 4
+    for line in plan.splitlines():
+        if "ReadSchema" in line:  # the keys side reads only the key column
+            assert "bytes" not in line and "caption" not in line, line
 
 
 def test_ann_bucket_join_no_udf_duplication(spark, image_table):
@@ -68,12 +85,15 @@ def test_ann_bucket_join_no_udf_duplication(spark, image_table):
 def test_multimodal_clusters_never_scan_bytes(image_table):
     """The multimodal dedup hot path reads only (image_id, caption, phash)
     even though the table carries pixel payloads (north rule / SURVEY §7
-    hard part 6)."""
-    from rensa_spark.operators.dedup import multimodal_dedup_clusters
+    hard part 6). Asserted on the LAZY edge plan — the clusters operator
+    eagerly runs CC internally (scoped persist), so its returned plan no
+    longer exposes the sketch scan."""
+    from rensa_spark.operators.dedup import multimodal_dedup_edges
 
     plan = _formatted_plan(
-        multimodal_dedup_clusters(image_table, CFG, "image_id", "caption", "phash")
+        multimodal_dedup_edges(image_table, CFG, "image_id", "caption", "phash")
     )
-    for line in plan.splitlines():
-        if "ReadSchema" in line:
-            assert "bytes" not in line, line
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans
+    for line in scans:
+        assert "bytes" not in line, line
