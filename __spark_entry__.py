@@ -105,6 +105,26 @@ def _q_cminhash_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cminhash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH one-shot flags over the C-MinHash digest (the LSH index
+    accepts any digest matrix, src/lsh/py.rs:94-108) — same skew-proof
+    singleton-count flag aggregation as the flagship."""
+    from rensa_spark.operators.lsh import one_shot_flags_from_bands
+    from rensa_spark.operators.sketch import cminhash_band_rows
+
+    docs = _docs(spark, sf_dir)
+    return (
+        one_shot_flags_from_bands(
+            cminhash_band_rows(docs, CFG, "doc_id", "text"),
+            keys=docs.select(
+                F.col("doc_id").alias("key"), F.lit(CFG.num_bands).alias("n_bands")
+            ),
+        )
+        .select(F.col("key").alias("doc_id"), F.col("is_dup"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_rho_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rho sketch sidecar columns (token budget / occupancy semantics,
     src/rminhash/rho.rs); hash-checked against the generated mixer SQL."""
@@ -585,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_flags": _q_minhash_dup_flags,
         "minhash_signature_stats": _q_minhash_signature_stats,
         "cminhash_signature_stats": _q_cminhash_signature_stats,
+        "cminhash_dup_flags": _q_cminhash_dup_flags,
         "rho_sidecar": _q_rho_sidecar,
         "shingle_counts": _q_shingle_counts,
         "cc_exact_clusters": _q_cc_exact_clusters,
@@ -739,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
     sketch = {
         "minhash_signature_stats": D.minhash_signature_stats_sql(CFG),
         "cminhash_signature_stats": D.cminhash_signature_stats_sql(CFG),
+        "cminhash_dup_flags": D.cminhash_dup_flags_sql(CFG),
         "minhash_dup_flags": D.minhash_dup_flags_sql(CFG),
         "rho_sidecar": D.rho_sidecar_sql(CFG),
         "simhash_dup_flags": D.simhash_dup_flags_sql(CFG),

@@ -55,7 +55,9 @@ def dup_flags(df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str) -> D
 
     return one_shot_flags_from_bands(
         rminhash_band_rows(df, cfg, key_col, text_col),
-        keys=df.select(F.col(key_col).alias("key")),
+        keys=df.select(
+            F.col(key_col).alias("key"), F.lit(cfg.num_bands).alias("n_bands")
+        ),
     )
 
 

@@ -537,21 +537,22 @@ def simhash_near_pairs(
             "max_hamming must be < n_chunks for the chunk-bucket candidates "
             "to be complete (pigeonhole)"
         )
-    # Each checkpoint is consumed by >=2 downstream branches; eager
-    # localCheckpoint materializes the (narrow) rows once and — unlike
-    # persist() — its blocks are reclaimed by the ContextCleaner when the
-    # DataFrame goes out of scope, so repeated invocations in one session
-    # don't accumulate pinned cache (round-2 advice).
+    # Each checkpoint is consumed by >=2 downstream branches; a LAZY
+    # localCheckpoint materializes the (narrow) rows once inside the first
+    # consuming job (no extra scheduling barrier) and — unlike persist() —
+    # its blocks are reclaimed by the ContextCleaner when the DataFrame
+    # goes out of scope, so repeated invocations in one session don't
+    # accumulate pinned cache (round-2 advice).
     sigs = simhash_signatures(df, cfg, key_col, text_col).localCheckpoint(
-        eager=True
+        eager=False
     )  # one Python crossing, consumed by groups + members
     groups = (
         sigs.groupBy("sig")
         .agg(F.min("key").alias("gid"), F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     members = sigs.join(groups.select("sig", "gid"), "sig").localCheckpoint(
-        eager=True
+        eager=False
     )
 
     # within-group pairs: hamming 0 by construction. Output-sized work —
@@ -629,5 +630,8 @@ def simhash_dup_flags(
     from rensa_spark.operators.lsh import one_shot_flags_from_bands
 
     return one_shot_flags_from_bands(
-        bands, keys=df.select(F.col(key_col).alias("key"))
+        bands,
+        keys=df.select(
+            F.col(key_col).alias("key"), F.lit(n_chunks).alias("n_bands")
+        ),
     )

@@ -44,3 +44,35 @@ def rminhash_band_rows(
             )
 
     return df.select(key_col, text_col).mapInPandas(gen, schema)
+
+
+def cminhash_band_rows(
+    df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str, fold: int = 1
+) -> DataFrame:
+    """text -> (key, band_idx, band_hash) over the C-MinHash 32-bit digest
+    (the LSH-over-CMinHash path: insert_matrix accepts any digest matrix,
+    src/lsh/py.rs:94-108; digest = sig64 >> 32, src/cminhash/py.rs:156-160)."""
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = f"key {key_type}, band_idx int, band_hash long"
+
+    def gen(batches):
+        from rensa_spark.functions.udfs import _band_hash_matrix
+        from rensa_spark.kernels.cminhash import cminhash_digest32, cminhash_matrix64
+        from rensa_spark.kernels.shingle import shingle_hashes_batch
+
+        for pdf in batches:
+            flat, offs = shingle_hashes_batch(pdf[text_col], cfg.ngram_size)
+            sig = cminhash_digest32(
+                cminhash_matrix64(flat, offs, cfg.num_perm, cfg.seed)
+            )
+            bands = _band_hash_matrix(sig, cfg.num_bands, fold).view(np.int64)
+            n, nb = bands.shape
+            yield pd.DataFrame(
+                {
+                    "key": np.repeat(pdf[key_col].values, nb),
+                    "band_idx": np.tile(np.arange(nb, dtype=np.int32), n),
+                    "band_hash": bands.reshape(-1),
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(gen, schema)

@@ -856,3 +856,33 @@ def ann_topk_many_sql(
     return ann_topk_lsh_sql(
         n_planes=n_planes, dim=dim, seed=seed, k=k, query_filter="TRUE"
     )
+
+
+def cminhash_dup_flags_sql(cfg: RensaConfig) -> str:
+    """Oracle for _q_cminhash_dup_flags: banded LSH one-shot flags over the
+    C-MinHash 32-bit digest (insert_matrix takes any digest matrix,
+    src/lsh/py.rs:94-108) — same band-hash fold as the minhash lane."""
+    sigma_a, sigma_b, pi_c, pi_d = cminhash_params(cfg.seed)
+    pre = cminhash_pi_precomputed(cfg.num_perm, pi_c, pi_d)
+    pip = ", ".join(f"({k}, {int(pre[k])}::HUGEINT)" for k in range(cfg.num_perm))
+    inner = f"({_lo64mul(str(sigma_a), 'h')} + {sigma_b}) % {M64}"
+    return f"""
+WITH {shingle_hash_ctes(cfg)},
+docs AS (SELECT doc_id FROM documents),
+pip AS (SELECT * FROM (VALUES {pip}) AS _p(k, pre)),
+cmbase AS (SELECT doc_id, {_lo64mul(str(pi_c), f'(({inner}))')} AS base FROM hashes),
+sigs AS (
+    SELECT doc_id, p.k, min((base + p.pre) % {M64}) AS mn
+    FROM cmbase CROSS JOIN pip p GROUP BY doc_id, p.k),
+grid AS MATERIALIZED (
+    SELECT d.doc_id, p.k AS i,
+           coalesce(s.mn // {M32}, {M32 - 1}) AS slot
+    FROM docs d CROSS JOIN pip p
+    LEFT JOIN sigs s ON s.doc_id = d.doc_id AND s.k = p.k),
+{band_hash_ctes(cfg, fold=1)},
+sized AS (
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_size
+    FROM bh)
+SELECT doc_id, bool_or(bucket_size >= 2) AS is_dup
+FROM sized GROUP BY doc_id ORDER BY doc_id"""

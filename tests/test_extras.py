@@ -325,10 +325,11 @@ def test_add_if_unique_brute_force_matches_lsh_on_small_input(spark):
             assert lsh[k], k
 
 
-def test_salted_flags_equal_window_flags(spark):
-    """The (default) salted semi-join flag path must equal the two-shuffle
-    window variant bit-for-bit, including with an explicit keys side and a
-    degenerate all-empty-caption block (one giant bucket per band)."""
+def test_singleton_count_flags_equal_window_flags(spark):
+    """The (default) single-pass singleton-count flag path must equal the
+    window variant bit-for-bit, with and without an explicit (key, n_bands)
+    side, including a degenerate all-empty-caption block (one giant bucket
+    per band)."""
     from rensa_spark.operators.lsh import (
         one_shot_flags_from_bands,
         one_shot_flags_from_bands_window,
@@ -339,13 +340,12 @@ def test_salted_flags_equal_window_flags(spark):
     pdf.loc[pdf.index[:40], "caption"] = ""  # degenerate block
     df = spark.createDataFrame(pdf[["image_id", "caption"]])
     bands = rminhash_band_rows(df, CFG, "image_id", "caption").localCheckpoint()
-    a = sorted(one_shot_flags_from_bands(bands, n_salts=7).collect())
+    a = sorted(one_shot_flags_from_bands(bands).collect())
     b = sorted(one_shot_flags_from_bands_window(bands).collect())
-    c = sorted(
-        one_shot_flags_from_bands(
-            bands, keys=df.select(F.col("image_id").alias("key"))
-        ).collect()
+    keys = df.select(
+        F.col("image_id").alias("key"), F.lit(CFG.num_bands).alias("n_bands")
     )
+    c = sorted(one_shot_flags_from_bands(bands, keys=keys).collect())
     assert a == b == c
 
 

@@ -36,34 +36,29 @@ def image_table(spark, tmp_path_factory):
 
 
 def test_flagship_plan_prunes_bytes_and_single_crossing(image_table):
-    """dup_flags hot path, round-3 shape: the sketch stage (band rows) reads
-    no image bytes and crosses Python exactly once; the flag stage consumes
-    the checkpointed band rows with NO per-bucket window sort (the skew
-    cliff the round-2 verdict flagged), only map-side-combining aggregates
-    and a salted semi-join, and its keys side is a pruned byte-free scan."""
+    """dup_flags hot path, round-3 singleton-count shape: no image bytes at
+    any scan, exactly one Python crossing, exactly TWO exchanges (both fed
+    by map-side-combining HashAggregates), and NO window/sort/join anywhere
+    — the skew-proof replacement for the round-1 per-bucket window sort
+    (PLANS.md round-3 flagship audit)."""
     from rensa_spark.operators.dedup import dup_flags
-    from rensa_spark.operators.sketch import rminhash_band_rows
 
-    # stage 1: the single Python crossing, bytes pruned at the scan
-    band_plan = _formatted_plan(
-        rminhash_band_rows(image_table, CFG, "image_id", "caption")
-    )
-    scan = next(l for l in band_plan.splitlines() if "ReadSchema" in l)
-    assert "bytes" not in scan, scan
-    assert "caption" in scan
-    assert len(re.findall(r"\) MapInPandas", band_plan)) == 1
-    assert len(re.findall(r"\) ArrowEvalPython", band_plan)) == 0
-    assert len(re.findall(r"\) Exchange", band_plan)) == 0
-
-    # stage 2: flags over the (checkpointed) band rows — skew-proof shape
     plan = _formatted_plan(dup_flags(image_table, CFG, "image_id", "caption"))
-    assert len(re.findall(r"\) Window", plan)) == 0  # no single-bucket sort
-    assert len(re.findall(r"\) Sort", plan)) == 0
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(scans) == 2  # sketch side (key, caption) + keys seed (key)
+    for line in scans:
+        assert "bytes" not in line, line
+    assert any("caption" in l for l in scans)
+    keys_scan = [l for l in scans if "caption" not in l]
+    assert len(keys_scan) == 1  # the seed side reads ONLY the key column
+    assert len(re.findall(r"\) MapInPandas", plan)) == 1
     assert len(re.findall(r"\) ArrowEvalPython", plan)) == 0
-    assert len(re.findall(r"\) Exchange", plan)) <= 4
-    for line in plan.splitlines():
-        if "ReadSchema" in line:  # the keys side reads only the key column
-            assert "bytes" not in line and "caption" not in line, line
+    assert len(re.findall(r"\) Exchange", plan)) == 2
+    assert len(re.findall(r"\) Window", plan)) == 0  # no per-bucket sort task
+    assert len(re.findall(r"\) \w*Join", plan)) == 0
+    # string keys push min(key) onto SortAggregate — those sorts are
+    # partition-local (map-side, pre-exchange), never bucket-sized; the
+    # skew-proof property is pinned by exchange count + no window/join
 
 
 def test_ann_bucket_join_no_udf_duplication(spark, image_table):
