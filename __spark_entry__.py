@@ -333,6 +333,15 @@ def _q_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup (native session_window, 30-minute gap) — the
+    batch view of the streaming sessionization operator."""
+    from rensa_spark.streaming.dedup import sessionize_events
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize_events(ev)
+
+
 def _q_simhash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rensa_spark.operators.similarity import simhash_dup_flags
 
@@ -616,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "events_hourly_stats": _q_events_hourly_stats,
+        "user_sessions": _q_user_sessions,
         "simhash_dup_flags": _q_simhash_dup_flags,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "add_if_unique": _q_add_if_unique,
@@ -737,6 +747,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id)::BIGINT AS uniq_users,
                    COUNT(*)::BIGINT AS n
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_sessions": """
+            WITH e AS (
+                SELECT user_id, ts, round(value * 100)::BIGINT AS cents,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+                FROM events),
+            m AS (
+                SELECT *, CASE WHEN prev IS NULL
+                               OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                               THEN 1 ELSE 0 END AS is_new
+                FROM e),
+            s AS (
+                SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                            ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(cents)::BIGINT AS value_cents
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "substring_overlap": """
             WITH w AS (

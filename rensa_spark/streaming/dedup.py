@@ -135,3 +135,37 @@ def streaming_exact_dedup(
     return stream_df.withWatermark(watermark_col, delay).dropDuplicates(
         key_cols + [watermark_col]
     )
+
+
+def sessionize_events(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session rollup via Spark's native ``session_window`` — the
+    dynamic-gap session operator (a session extends while the next event
+    arrives within ``gap`` of the previous one; works identically over
+    ``readStream`` with a watermark, which is the streaming deployment).
+
+    -> (user_id, session_start, n_events, value_cents): session_start is the
+    first event's timestamp, money rides as exact cents. SQL-checkable: for
+    point events the session assignment equals the lag-gap-cumsum
+    formulation — new session iff ts - prev_ts STRICTLY exceeds the gap
+    (an event exactly at prev + gap still merges; pinned by
+    test_sessionize_events_gap_semantics) — which the DuckDB oracle
+    evaluates at microsecond precision."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(F.col(user_col).alias("user_id"), sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "value_cents"
+            ),
+            F.min(ts_col).alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "value_cents")
+        .orderBy("user_id", "session_start")
+    )

@@ -794,3 +794,38 @@ def test_add_if_unique_capped_matches_uncapped(spark):
         c = sorted(dedup_clusters(df, cfg, "image_id", "caption").collect())
         out[cap] = (a, c)
     assert out[2] == out[1 << 30]
+
+
+def test_sessionize_events_gap_semantics(spark):
+    """session_window boundary semantics, pinned empirically: an event
+    EXACTLY at prev + gap still MERGES (Spark merges on start <= current
+    end, i.e. a new session needs a strictly larger gap) — the DuckDB
+    oracle mirrors this with a strict ``> gap_us`` comparison."""
+    import datetime as dt
+
+    from rensa_spark.streaming.dedup import sessionize_events
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: 29-min steps extend; the EXACT +30-min step also merges
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + dt.timedelta(minutes=29), 2.0),
+        (3, 1, t0 + dt.timedelta(minutes=58), 3.0),
+        (4, 1, t0 + dt.timedelta(minutes=88), 4.0),  # exactly prev + gap
+        # one microsecond PAST the gap -> new session
+        (5, 1, t0 + dt.timedelta(minutes=118, microseconds=1), 5.0),
+        # user 2: single event
+        (6, 2, t0, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = [
+        (r["user_id"], r["session_start"], r["n_events"], r["value_cents"])
+        for r in sessionize_events(df).collect()
+    ]
+    assert got == [
+        (1, t0, 4, 1000),
+        (1, t0 + dt.timedelta(minutes=118, microseconds=1), 1, 500),
+        (2, t0, 1, 1000),
+    ]
