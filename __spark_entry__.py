@@ -608,6 +608,56 @@ def _q_tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped argmin join: per small part, the EUROPE supplier with the
+    lowest observed unit price (derived from lineitem — the driver schema
+    has no partsupp table). Unit price rides as exact cents: the double
+    division + round is a fixed-shape IEEE expression identical in DuckDB.
+    Plan: one fact aggregation on (partkey, suppkey), dims broadcast, then
+    a per-part window argmin with suppkey tiebreak."""
+    from pyspark.sql import Window
+
+    sf = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    li, supp = sf("lineitem"), sf("supplier")
+    nation, region, part = sf("nation"), sf("region"), sf("part")
+
+    unit_cents = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100
+    ).cast("long")
+    offers = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cents).alias("unit_cents"))
+    )
+    europe_supp = F.broadcast(
+        supp.join(
+            nation, supp["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            region.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    small_parts = F.broadcast(
+        part.filter(F.col("p_size") <= 10).select("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cents", "l_suppkey")
+    return (
+        offers.join(europe_supp, offers["l_suppkey"] == F.col("s_suppkey"))
+        .join(small_parts, offers["l_partkey"] == F.col("p_partkey"), "leftsemi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "n_name",
+            "unit_cents",
+        )
+        .orderBy("p_partkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -640,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_customers": _q_tpch_top_customers,
         "tpch_order_priority": _q_tpch_order_priority,
         "tpch_regional_revenue": _q_tpch_regional_revenue,
+        "tpch_cheapest_supplier": _q_tpch_cheapest_supplier,
     }
 
 
@@ -840,6 +891,30 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
             GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_cheapest_supplier": """
+            WITH offers AS (
+                SELECT l_partkey, l_suppkey,
+                       min(round(l_extendedprice / l_quantity * 100)::BIGINT) AS unit_cents
+                FROM lineitem WHERE l_quantity > 0
+                GROUP BY 1, 2),
+            eu AS (
+                SELECT s.s_suppkey, n.n_name
+                FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                             AND r.r_name = 'EUROPE'),
+            ranked AS (
+                SELECT o.l_partkey AS p_partkey, o.l_suppkey AS s_suppkey,
+                       e.n_name, o.unit_cents,
+                       row_number() OVER (PARTITION BY o.l_partkey
+                                          ORDER BY o.unit_cents, o.l_suppkey) AS rn
+                FROM offers o
+                JOIN eu e ON e.s_suppkey = o.l_suppkey
+                WHERE EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = o.l_partkey AND p.p_size <= 10))
+            SELECT p_partkey, s_suppkey, n_name, unit_cents
+            FROM ranked WHERE rn = 1 ORDER BY p_partkey
         """,
         "tpch_regional_revenue": """
             SELECT n.n_name,

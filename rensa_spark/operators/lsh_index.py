@@ -118,6 +118,15 @@ class LshIndex:
             new_bands.write.mode("overwrite").parquet(self._path("bands"))
             new_sigs.write.mode("overwrite").parquet(self._path("sigs"))
 
+    def clear(self) -> None:
+        """Drop all index state (Deduplicator.clear,
+        src/inline_dedup/rminhash.rs:388 / cminhash.rs:317): removes the
+        bands and sigs tables so the next insert starts a fresh index."""
+        import shutil
+
+        for name in ("bands", "sigs", "bands_tmp", "sigs_tmp"):
+            shutil.rmtree(self._path(name), ignore_errors=True)
+
     def remove(self, keys_df: DataFrame, key_col: str = "key") -> None:
         """DELETE FROM bands/sigs WHERE key IN (...) (src/lsh/py.rs:169-176)."""
         if not self._exists():

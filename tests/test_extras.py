@@ -255,6 +255,20 @@ def test_lsh_index_insert_query_remove(spark, tmp_path):
     res2 = {r["key"]: list(r["candidates"]) for r in idx.query(q).collect()}
     assert res2["q1"] == []
 
+    idx.clear()
+    assert idx.is_empty() and idx.len() == 0
+
+    # round-1 legacy layout (bands without sigs) must fail LOUDLY instead
+    # of serving silently incomplete verified duplicates (round-2 advice)
+    import shutil
+
+    idx.insert(base)
+    shutil.rmtree(idx._path("sigs"))
+    with pytest.raises(RuntimeError, match="predates signature storage"):
+        idx.get_duplicates(q)
+    with pytest.raises(RuntimeError, match="predates signature storage"):
+        idx.insert(base)
+
 
 # ------------------------------------------------------------------ streaming
 def test_streaming_dedup_matches_sequential(spark, tmp_path):
@@ -829,3 +843,50 @@ def test_sessionize_events_gap_semantics(spark):
         (1, t0 + dt.timedelta(minutes=118, microseconds=1), 1, 500),
         (2, t0, 1, 1000),
     ]
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """sessionize_events deploys unchanged over readStream: a file-source
+    stream with a watermark + session_window (availableNow trigger) must
+    produce the same sessions as the batch lane over the same rows."""
+    import datetime as dt
+
+    from rensa_spark.streaming.dedup import sessionize_events
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = t0 + dt.timedelta(minutes=u)
+        for i in range(20):
+            # gaps alternate 5 min (extend) / 45 min (split)
+            t = t + dt.timedelta(minutes=5 if i % 3 else 45)
+            rows.append((eid, u, t, float(u + i)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    batch = sessionize_events(spark.read.parquet(src)).collect()
+
+    stream_in = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    sessions = sessionize_events(stream_in)
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM sess_stream ORDER BY user_id, session_start"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+    assert len(batch) > 5  # the 45-min gaps actually split sessions
