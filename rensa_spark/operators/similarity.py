@@ -556,17 +556,24 @@ def simhash_near_pairs(
     )
 
     # within-group pairs: hamming 0 by construction. Output-sized work —
-    # spread over expand_salts tasks (left side keyed by hash(key), right
-    # side replicated per salt: each unordered pair matches exactly once).
-    multi = groups.filter(F.col("cnt") >= 2).select("gid")
-    m = members.join(multi, "gid", "leftsemi")
+    # spread over min(cnt, expand_salts) tasks per group (left side keyed by
+    # hash(key) mod the group's salt domain, right side replicated once per
+    # salt: each unordered pair matches exactly once). Sizing the salt
+    # domain by the GROUP's multiplicity keeps the replication factor at
+    # cnt for small groups (the common case) while a degenerate 10k-member
+    # block still fans out over the full expand_salts reducers.
+    multi = groups.filter(F.col("cnt") >= 2).select("gid", "cnt")
+    m = members.join(multi, "gid")
+    s_g = F.least(F.col("cnt"), F.lit(expand_salts)).cast("long")
     left = m.select(
         "gid",
         F.col("key").alias("a"),
-        F.pmod(F.xxhash64("key"), F.lit(expand_salts)).cast("int").alias("salt"),
+        F.pmod(F.xxhash64("key"), s_g).cast("int").alias("salt"),
     )
-    right = m.select("gid", F.col("key").alias("b")).withColumn(
-        "salt", F.explode(F.array(*[F.lit(s) for s in range(expand_salts)]))
+    right = m.select(
+        "gid",
+        F.col("key").alias("b"),
+        F.explode(F.sequence(F.lit(0), (s_g - 1).cast("int"))).alias("salt"),
     )
     within = (
         left.join(right, ["gid", "salt"])
