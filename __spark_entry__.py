@@ -608,6 +608,32 @@ def _q_tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_filtered_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline composition: language gate
+    (stopword-hit langid == 'en') + quality gate (>= 5 tokens) -> MinHash
+    dedup clusters -> survivor flags, in ONE lane. Every stage reuses the
+    independently hash-verified operators; the oracle composes the same
+    filter CTE into the generated clusters SQL."""
+    from rensa_spark.operators.dedup import dedup_clusters
+    from rensa_spark.operators.textops import langid, token_count
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    filtered = (
+        langid(docs, "text")
+        .filter((F.col("lang_pred") == "en") & (token_count("text") >= 5))
+        .select("doc_id", "text")
+    )
+    return (
+        dedup_clusters(filtered, CFG, "doc_id", "text")
+        .select(
+            F.col("key").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "is_survivor",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_tpch_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped argmin join: per small part, the EUROPE supplier with the
     lowest observed unit price (derived from lineitem — the driver schema
@@ -691,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_order_priority": _q_tpch_order_priority,
         "tpch_regional_revenue": _q_tpch_regional_revenue,
         "tpch_cheapest_supplier": _q_tpch_cheapest_supplier,
+        "pipeline_filtered_clusters": _q_pipeline_filtered_clusters,
     }
 
 
@@ -840,7 +867,26 @@ def oracle_sql() -> dict[str, str]:
     # Xoshiro stream the Spark UDFs use. Every generated stage is
     # pytest-proven bit-exact against the numpy kernels through DuckDB
     # (tests/test_duck_oracles.py) independently of this driver harness.
+    # composite pipeline filter (language gate + token gate), composed into
+    # the generated clusters SQL via pre_ctes/src — same langid expressions
+    # as the hash-verified lang_id lane
+    filter_ctes = f"""
+flt_t AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents),
+flt_h AS (SELECT doc_id, text, len(toks)::BIGINT AS ntok, {lang_hits} FROM flt_t),
+flt_g AS (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS g FROM flt_h),
+filtered AS (
+    SELECT doc_id, text FROM flt_g
+    WHERE ntok >= 5 AND (CASE WHEN g <= 0 THEN 'und'
+    {lang_case}
+    END) = 'en')"""
+
     sketch = {
+        "pipeline_filtered_clusters": D.minhash_clusters_sql(
+            CFG, src="filtered", pre_ctes=filter_ctes
+        ),
         "minhash_signature_stats": D.minhash_signature_stats_sql(CFG),
         "cminhash_signature_stats": D.cminhash_signature_stats_sql(CFG),
         "cminhash_dup_flags": D.cminhash_dup_flags_sql(CFG),

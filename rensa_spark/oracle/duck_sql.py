@@ -474,18 +474,26 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
-def minhash_clusters_sql(cfg: RensaConfig) -> str:
+def minhash_clusters_sql(
+    cfg: RensaConfig, src: str = "documents", pre_ctes: str = ""
+) -> str:
     """Oracle for _q_minhash_clusters: candidate pairs = docs sharing >=1
     (band_idx, band_hash) bucket; edges = pairs with signature equal-slot
     fraction >= threshold; clusters = connected components via recursive
     reachability (exact — component sizes are small at oracle SF); survivor
     = min doc_id per component. Identical-signature collapse and the hot-
     bucket star cap in the Spark plan are component-preserving rewrites, so
-    components match this direct definition (operators/dedup.py:97-115)."""
+    components match this direct definition (operators/dedup.py:97-115).
+
+    ``src``/``pre_ctes`` let a composite pipeline run the same clustering
+    over a FILTERED doc set (pre_ctes must end with a CTE named ``src``
+    exposing (doc_id, text))."""
     thr = cfg.threshold
+    pre = f"{pre_ctes}," if pre_ctes else ""
     return f"""
-WITH RECURSIVE {shingle_hash_ctes(cfg)},
-docs AS (SELECT doc_id FROM documents),
+WITH RECURSIVE {pre}
+{shingle_hash_ctes(cfg, src=src)},
+docs AS (SELECT doc_id FROM {src}),
 {rminhash_slot_ctes(cfg)},
 {band_hash_ctes(cfg, fold=1)},
 cand AS MATERIALIZED (
