@@ -395,8 +395,9 @@ def simhash_signatures(
 def _simhash_group_pairs(
     dsig: DataFrame, n_chunks: int, max_hamming: int, hot_chunk_cap: int
 ) -> DataFrame:
-    """(ga, gb, hamming): all pairs of DISTINCT signatures within the hamming
-    bound, from a (gid, sig) table of unique sigs.
+    """(sig_a, sig_b, hamming): all pairs of DISTINCT signatures within the
+    hamming bound, from a (sig) table of unique sigs — the sig value itself
+    is the group identity (sig_a < sig_b orders each pair once).
 
     Level 1: shared 16-bit chunk buckets (pigeonhole-complete for
     max_hamming < n_chunks). Buckets over ``hot_chunk_cap`` members are NOT
@@ -428,12 +429,11 @@ def _simhash_group_pairs(
         return F.struct(val.alias("chunk_val"), rem.alias("rem"))
 
     chunks = dsig.select(
-        "gid",
         "sig",
         F.posexplode(F.array(*[chunk_struct(c) for c in range(n_chunks)])).alias(
             "chunk_idx", "cv"
         ),
-    ).select("gid", "sig", "chunk_idx", "cv.chunk_val", "cv.rem")
+    ).select("sig", "chunk_idx", "cv.chunk_val", "cv.rem")
     sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
@@ -442,7 +442,7 @@ def _simhash_group_pairs(
     )
 
     small = sized.filter(F.col("bucket_size") <= hot_chunk_cap).select(
-        "chunk_idx", "chunk_val", "gid", "sig"
+        "chunk_idx", "chunk_val", "sig"
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     small_pairs = (
@@ -451,14 +451,9 @@ def _simhash_group_pairs(
             small.alias("y"),
             (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
             & (F.col("x.chunk_val") == F.col("y.chunk_val"))
-            & (F.col("x.gid") < F.col("y.gid")),
+            & (F.col("x.sig") < F.col("y.sig")),
         )
-        .select(
-            F.col("x.gid").alias("ga"),
-            F.col("y.gid").alias("gb"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
-        )
+        .select(F.col("x.sig").alias("sig_a"), F.col("y.sig").alias("sig_b"))
     )
 
     def sub_val(j: int):
@@ -470,7 +465,6 @@ def _simhash_group_pairs(
     hot = sized.filter(F.col("bucket_size") > hot_chunk_cap).select(
         "chunk_idx",
         "chunk_val",
-        "gid",
         "sig",
         F.posexplode(F.array(*[sub_val(j) for j in range(n_chunks)])).alias(
             "sub_idx", "sub_val"
@@ -484,14 +478,9 @@ def _simhash_group_pairs(
             & (F.col("x.chunk_val") == F.col("y.chunk_val"))
             & (F.col("x.sub_idx") == F.col("y.sub_idx"))
             & (F.col("x.sub_val") == F.col("y.sub_val"))
-            & (F.col("x.gid") < F.col("y.gid")),
+            & (F.col("x.sig") < F.col("y.sig")),
         )
-        .select(
-            F.col("x.gid").alias("ga"),
-            F.col("y.gid").alias("gb"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
-        )
+        .select(F.col("x.sig").alias("sig_a"), F.col("y.sig").alias("sig_b"))
     )
     # hamming-filter BEFORE the dedup so distinct() sees only true near
     # pairs, never the candidate multiset
@@ -499,7 +488,7 @@ def _simhash_group_pairs(
         small_pairs.unionByName(hot_pairs)
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("ga", "gb", "hamming")
+        .select("sig_a", "sig_b", "hamming")
         .distinct()
     )
 
@@ -545,15 +534,12 @@ def simhash_near_pairs(
     # accumulate pinned cache (round-2 advice).
     sigs = simhash_signatures(df, cfg, key_col, text_col).localCheckpoint(
         eager=False
-    )  # one Python crossing, consumed by groups + members
+    )  # one Python crossing, consumed by the group agg + expansions
     groups = (
         sigs.groupBy("sig")
-        .agg(F.min("key").alias("gid"), F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
-    )
-    members = sigs.join(groups.select("sig", "gid"), "sig").localCheckpoint(
-        eager=False
-    )
+    )  # the sig VALUE is the group identity — no member re-join needed
 
     # within-group pairs: hamming 0 by construction. Output-sized work —
     # spread over min(cnt, expand_salts) tasks per group (left side keyed by
@@ -562,34 +548,34 @@ def simhash_near_pairs(
     # domain by the GROUP's multiplicity keeps the replication factor at
     # cnt for small groups (the common case) while a degenerate 10k-member
     # block still fans out over the full expand_salts reducers.
-    multi = groups.filter(F.col("cnt") >= 2).select("gid", "cnt")
-    m = members.join(multi, "gid")
+    multi = groups.filter(F.col("cnt") >= 2).select("sig", "cnt")
+    m = sigs.join(multi, "sig")
     s_g = F.least(F.col("cnt"), F.lit(expand_salts)).cast("long")
     left = m.select(
-        "gid",
+        "sig",
         F.col("key").alias("a"),
         F.pmod(F.xxhash64("key"), s_g).cast("int").alias("salt"),
     )
     right = m.select(
-        "gid",
+        "sig",
         F.col("key").alias("b"),
         F.explode(F.sequence(F.lit(0), (s_g - 1).cast("int"))).alias("salt"),
     )
     within = (
-        left.join(right, ["gid", "salt"])
+        left.join(right, ["sig", "salt"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.lit(0).cast("long").alias("hamming"))
     )
 
     # cross-group pairs over DISTINCT sigs only, then multiplicity expansion
     gpairs = _simhash_group_pairs(
-        groups.select("gid", "sig"), n_chunks, max_hamming, hot_chunk_cap
+        groups.select("sig"), n_chunks, max_hamming, hot_chunk_cap
     )
-    ma = members.select(F.col("gid").alias("ga"), F.col("key").alias("ka"))
-    mb = members.select(F.col("gid").alias("gb"), F.col("key").alias("kb"))
+    ma = sigs.select(F.col("sig").alias("sig_a"), F.col("key").alias("ka"))
+    mb = sigs.select(F.col("sig").alias("sig_b"), F.col("key").alias("kb"))
     cross = (
-        gpairs.join(ma, "ga")
-        .join(mb, "gb")
+        gpairs.join(ma, "sig_a")
+        .join(mb, "sig_b")
         .select(
             F.least("ka", "kb").alias("a"),
             F.greatest("ka", "kb").alias("b"),

@@ -727,7 +727,7 @@ def test_simhash_near_pairs_degenerate_block_bounded(spark):
     # so the level-1/level-2 join output stays far below the naive
     # O(block^2) = 1e8 candidate rows the old all-rows self-join produced
     sigs = simhash_signatures(df, CFG, "doc_id", "text")
-    dsig = sigs.groupBy("sig").agg(F.min("key").alias("gid"))
+    dsig = sigs.select("sig").distinct()
     n_dsig = dsig.count()
     assert n_dsig <= n_unique + 1
     cand = _simhash_group_pairs(dsig, 4, 3, 4096).count()
