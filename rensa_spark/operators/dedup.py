@@ -263,49 +263,57 @@ def add_if_unique(
         )
     ).localCheckpoint(eager=True)
 
-    # state: keys with decided status; start with rows having no earlier
-    # conflicts. Keys are unique, so every set op is a key-join: left_anti
-    # joins (broadcast-able, no full-row shuffle) replace round 1's
-    # exceptAll, and the only per-round driver job is one count() on the
-    # already-materialized checkpoint (a non-empty DAG always has a
-    # non-empty frontier, so frontier-empty cannot stall the loop).
-    undecided = base.select("key").localCheckpoint(eager=True)
-    n_undecided = undecided.count()
-    kept = undecided.limit(0).withColumn("kept", F.lit(True)).select("key", "kept")
+    # ONE fused state table (key, kept: true/false/null=undecided), ONE
+    # localCheckpoint + ONE count per round (round-3: the separate
+    # kept/undecided tables cost two checkpoint jobs per round — fusing
+    # measured ~10% faster at sf0.1 with bit-equal output). A row is
+    # decidable once all its earlier conflict-neighbors are decided
+    # (frontier = undecided minus lates with an undecided early); it is
+    # kept iff no earlier KEPT neighbor reaches it. Keys are unique, so
+    # every set op is a key-join; a non-empty DAG always has a non-empty
+    # frontier, so the loop cannot stall.
+    state = base.select(
+        "key", F.lit(None).cast("boolean").alias("kept")
+    ).localCheckpoint(eager=True)
+    n_undecided = state.filter(F.col("kept").isNull()).count()
     for _ in range(max_rounds):
         if n_undecided == 0:
             break
-        live_edges = edges.join(undecided.withColumnRenamed("key", "late"), "late", "leftsemi")
+        und = state.filter(F.col("kept").isNull()).select("key")
+        live_edges = edges.join(
+            und.withColumnRenamed("key", "late"), "late", "leftsemi"
+        )
         blocked = (
-            live_edges.join(undecided.withColumnRenamed("key", "early"), "early", "leftsemi")
+            live_edges.join(und.withColumnRenamed("key", "early"), "early", "leftsemi")
             .select(F.col("late").alias("key"))
             .distinct()
         )
-        frontier = undecided.join(blocked, "key", "left_anti")
-        kept_early = kept.filter("kept").select(F.col("key").alias("early"))
+        frontier = und.join(blocked, "key", "left_anti")
+        kept_early = state.filter(F.col("kept") == True).select(  # noqa: E712
+            F.col("key").alias("early")
+        )
         frontier_dup = (
             edges.join(kept_early, "early", "leftsemi")
             .select(F.col("late").alias("key"))
             .join(frontier, "key", "leftsemi")
             .distinct()
+            .withColumn("dup", F.lit(True))
         )
-        frontier_kept = frontier.join(frontier_dup, "key", "left_anti")
-        newly = frontier_kept.withColumn("kept", F.lit(True)).unionByName(
-            frontier_dup.withColumn("kept", F.lit(False))
+        newly = frontier.join(frontier_dup, "key", "left").select(
+            "key", F.col("dup").isNull().alias("new_kept")
         )
-        kept = kept.unionByName(newly).localCheckpoint(eager=True)
-        undecided = undecided.join(frontier, "key", "left_anti").localCheckpoint(
-            eager=True
+        state = (
+            state.join(newly, "key", "left")
+            .select("key", F.coalesce("kept", "new_kept").alias("kept"))
+            .localCheckpoint(eager=True)
         )
-        n_undecided = undecided.count()
+        n_undecided = state.filter(F.col("kept").isNull()).count()
     else:
         raise RuntimeError(
             f"add_if_unique did not converge in {max_rounds} rounds; "
             "conflict chains longer than expected"
         )
-    return base.select("key").join(kept, "key", "left").select(
-        "key", F.coalesce("kept", F.lit(True)).alias("kept")
-    )
+    return state.select("key", "kept")
 
 
 def exact_dup_flags(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
