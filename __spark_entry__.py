@@ -492,6 +492,18 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unblocked embedding near-dup pairs: hyperplane-bucket candidates +
+    exact int64 fixed-point cosine verify — the no-blocking-key scale lane
+    of embedding dedup, deterministic and hash-verified."""
+    from rensa_spark.operators.similarity import ann_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_near_dup_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.3, n_planes=6, dim=64
+    ).orderBy("a", "b")
+
+
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem. Money sums ride as
     exact cents (round(x*100) -> long) so Spark and DuckDB agree bit-for-bit
@@ -712,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_clusters": _q_multimodal_clusters,
         "ann_topk_many": _q_ann_topk_many,
         "embedding_near_dup": _q_embedding_near_dup,
+        "ann_near_dup": _q_ann_near_dup,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_top_customers": _q_tpch_top_customers,
         "tpch_order_priority": _q_tpch_order_priority,
@@ -905,6 +918,9 @@ filtered AS (
         # the sketch lanes. 0 rows-only queries remain.
         "ann_topk_lsh": D.ann_topk_lsh_sql(n_planes=6, dim=64, seed=42, k=5),
         "ann_topk_many": D.ann_topk_many_sql(n_planes=6, dim=64, seed=42, k=3),
+        "ann_near_dup": D.ann_near_dup_sql(
+            min_cosine=0.3, n_planes=6, dim=64, seed=42
+        ),
     }
     tpch = {
         "tpch_pricing_summary": """

@@ -327,6 +327,80 @@ def bucketed_topk_join(
     )
 
 
+def ann_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.3,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """UNBLOCKED embedding near-dup pairs (a < b, cosine >= min_cosine)
+    via hyperplane sign buckets: candidates share the full sign pattern,
+    verification is the exact int64 fixed-point cosine — deterministic and
+    SQL-checkable (duck_sql.ann_near_dup_sql). The scale lane when no
+    blocking key exists: one self-equi-join on ``bucket``; bucket count is
+    2^n_planes, so raise ``n_planes`` with corpus size to bound bucket
+    membership (recall is approximate by design — pairs in different
+    buckets are not candidates; multiprobe is deliberately omitted here to
+    keep the pair set a pure function of one bucket assignment)."""
+    if dim is None:
+        dim = len(
+            np.asarray(df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0])
+        )
+    planes = quantized_hyperplanes(dim, n_planes, seed)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mq = quantize_vecs(np.array([np.asarray(v, dtype=np.float64) for v in vecs]))
+        signs = (mq @ planes.T) > 0
+        powers = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series(signs.astype(np.int64) @ powers)
+
+    def _qvec(c):
+        return F.transform(
+            c, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
+        )
+
+    side = df.select(
+        F.col(id_col).alias("vid"),
+        _qvec(F.col(vec_col)).alias("vq"),
+        F.coalesce(bucket_udf(F.col(vec_col)), F.lit(-1)).alias("bucket"),
+    ).withColumn(
+        "n2", F.aggregate("vq", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    )
+    x = side.alias("x")
+    y = side.alias("y")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.vq"), F.col("y.vq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    score = F.when(
+        (F.col("x.n2") > 0) & (F.col("y.n2") > 0),
+        dot.cast("double")
+        / (F.sqrt(F.col("x.n2").cast("double")) * F.sqrt(F.col("y.n2").cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .withColumn("cosine", score)
+        .filter(F.col("cosine") >= min_cosine)
+        .select(
+            F.col("x.vid").alias("a"),
+            F.col("y.vid").alias("b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

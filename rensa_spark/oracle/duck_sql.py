@@ -894,3 +894,22 @@ sized AS (
     FROM bh)
 SELECT doc_id, bool_or(bucket_size >= 2) AS is_dup
 FROM sized GROUP BY doc_id ORDER BY doc_id"""
+
+
+def ann_near_dup_sql(
+    min_cosine: float = 0.3, n_planes: int = 6, dim: int = 64, seed: int = 42
+) -> str:
+    """Oracle for _q_ann_near_dup: unblocked near-dup pairs — candidates
+    share the full hyperplane sign bucket, verified by the exact int64
+    fixed-point cosine (same quantization as the top-k ANN lanes)."""
+    score = _ann_score().format(dim=dim)
+    return f"""
+WITH {_ann_common_ctes(n_planes, dim, seed)},
+scored AS (
+    SELECT bx.vec_id AS a, bz.vec_id AS b, {score} AS score
+    FROM buckets bx
+    JOIN buckets bz ON bz.bucket = bx.bucket AND bx.vec_id < bz.vec_id
+    JOIN vn nq ON nq.vec_id = bx.vec_id
+    JOIN vn nn ON nn.vec_id = bz.vec_id)
+SELECT a, b, round(score, 6) AS cosine
+FROM scored WHERE score >= {min_cosine} ORDER BY a, b"""
