@@ -77,10 +77,15 @@ def main() -> None:
 
     # headline driver queries at SF_DIR — best-of-2 per lane (this host's
     # run-to-run CPU variance poisons single-shot timings: the same lane
-    # measured 17.1s then 1.4s back-to-back in one session; see CLAUDE.md)
+    # measured 17.1s then 1.4s back-to-back in one session; see CLAUDE.md).
+    # Lanes whose first trial exceeds RETRY_BELOW skip the retry so the
+    # suite's worst-case wall stays bounded for the per-round driver run.
+    RETRY_BELOW = float(os.environ.get("BENCH_RETRY_BELOW_SEC", "3.0"))
     for name, fn in em.queries().items():
-        best = float("inf")
-        for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        best = time.perf_counter() - t0
+        if best < RETRY_BELOW:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -204,7 +209,7 @@ def main() -> None:
                 "dedup_rows_per_sec": round(n_rows / dedup_sec, 1),
                 "sparse_rho_rows_per_sec": round(n_rows / sparse_sec, 1),
                 "cpus": CPUS,
-                "trials_per_lane": 2,
+                "trials_per_lane": "2 when first trial < 3s, else 1",
             }
         )
     )
