@@ -199,3 +199,24 @@ def test_sql_rho_dup_flags_match_pyrensa(con, corpus):
     want = O.one_shot_flags_rho_py(rho_rows, CFG)
     got = con.execute(D.rho_dup_flags_sql(CFG)).fetchall()
     assert got == [(ids[i], want[i]) for i in range(len(ids))]
+
+
+def test_oracle_generators_reject_nondefault_configs():
+    """The generated SQL encodes default-config control flow; non-default
+    RensaConfigs must be rejected loudly instead of producing silently wrong
+    oracles (round-2 advice)."""
+    import pytest
+
+    from rensa_spark.config import RensaConfig
+    from rensa_spark.oracle import duck_sql as D
+
+    with pytest.raises(AssertionError, match="probe count"):
+        D.rho_sidecar_sql(RensaConfig(num_perm=128, num_bands=8, rho_adaptive_probes=True))
+    with pytest.raises(AssertionError, match="token budget|budget rule"):
+        D.rho_sidecar_sql(
+            RensaConfig(num_perm=128, num_bands=8, rho_token_budget_overridden=True)
+        )
+    with pytest.raises(AssertionError, match="recall rescue"):
+        D.rho_dup_flags_sql(
+            RensaConfig(num_perm=128, num_bands=8, rho_recall_rescue_enabled=False)
+        )
