@@ -92,3 +92,33 @@ def test_multimodal_clusters_never_scan_bytes(image_table):
     assert scans
     for line in scans:
         assert "bytes" not in line, line
+
+
+def test_bucketed_stage_tables_join_without_shuffle(spark, tmp_path):
+    """North-rule bucketing strategy, pinned: stage tables written with
+    bucketBy(key) + sortBy(key) join on key with ZERO exchanges — the
+    co-located join a real deployment uses for the signatures<->pairs and
+    resume-time joins instead of reshuffling 10^12 rows per stage."""
+    import pandas as pd
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pdf = pd.DataFrame(
+            {"key": [f"k{i}" for i in range(500)], "v": list(range(500))}
+        )
+        for name in ("sigs_b", "flags_b"):
+            (
+                spark.createDataFrame(pdf)
+                .write.mode("overwrite")
+                .bucketBy(8, "key")
+                .sortBy("key")
+                .saveAsTable(name)
+            )
+        joined = spark.table("sigs_b").join(spark.table("flags_b"), "key")
+        plan = _formatted_plan(joined)
+        assert len(re.findall(r"\) Exchange", plan)) == 0, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for name in ("sigs_b", "flags_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
