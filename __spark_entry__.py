@@ -339,7 +339,9 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rensa_spark.streaming.dedup import sessionize_events
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return sessionize_events(ev)
+    # the operator returns unordered rows (streaming-append compatible);
+    # the driver lane pins a deterministic order itself
+    return sessionize_events(ev).orderBy("user_id", "session_start")
 
 
 def _q_simhash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,18 +439,24 @@ def _q_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape (image+caption dedup) driven on the driver
-    tables: documents stand in as caption rows with phash := the caption
-    rolling-hash fingerprint (a deterministic stand-in for an image
-    perceptual hash — the operator only ever tests phash EQUALITY). Edges =
+    tables: documents stand in as caption rows with a CAPTION-INDEPENDENT
+    planted phash (the operator only ever tests phash EQUALITY): doc_ids
+    ending 0/1 pair up (phash = doc_id - doc_id%2), the rest are phash
+    singletons (= doc_id). ~20% of docs get a phash-only edge to a doc
+    with a DIFFERENT caption, so the phash-∪-caption union is falsifiable
+    by the value hash (round-3 verdict ask #3 — the old caption-fingerprint
+    phash made this lane hash-identical to minhash_clusters). Edges =
     equal-phash ∪ verified caption-MinHash pairs -> connected components."""
     from rensa_spark.operators.dedup import multimodal_dedup_clusters
-    from rensa_spark.operators.textops import fingerprint
 
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.col("text").alias("caption"),
-        F.when(F.col("text") == "", F.lit(0).cast("long"))
-        .otherwise(fingerprint("text"))
+        F.when(
+            F.col("doc_id") % 10 < 2, F.col("doc_id") - F.col("doc_id") % 2
+        )
+        .otherwise(F.col("doc_id"))
+        .cast("long")
         .alias("phash"),
     )
     return (
@@ -910,7 +918,7 @@ filtered AS (
         "bpe_piece_counts": D.bpe_piece_counts_sql(),
         "minhash_clusters": D.minhash_clusters_sql(CFG),
         "add_if_unique": D.add_if_unique_sql(CFG),
-        "multimodal_clusters": D.multimodal_clusters_sql(CFG, FP_BASE, FP_MOD),
+        "multimodal_clusters": D.multimodal_clusters_sql(CFG),
         "rho_dup_flags": D.rho_dup_flags_sql(CFG),
         # round-3: the hyperplane lanes quantize planes AND vectors to int64
         # fixed-point (floor(x * 2^20)), so every bucket sign decision and

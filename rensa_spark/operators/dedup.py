@@ -213,6 +213,7 @@ def add_if_unique(
     order_col: str | None = None,
     max_rounds: int = 30,
     use_lsh: bool = True,
+    brute_force_max_rows: int = 100_000,
 ) -> DataFrame:
     """Batch emulation of RMinHashDeduplicator.add_pairs with use_lsh=True
     (src/inline_dedup/rminhash.rs:233-299): process rows in ``order_col``
@@ -243,7 +244,17 @@ def add_if_unique(
         # CMinHashDeduplicator semantics: brute-force against ALL kept items
         # (src/inline_dedup/cminhash.rs:165-242 — no LSH index). Cross-join
         # of signatures; only viable for small kept sets, kept for API
-        # parity. jaccard >= threshold is the only gate.
+        # parity. jaccard >= threshold is the only gate. Guarded: the O(n^2)
+        # join must never ship at scale by accident.
+        n_rows = base.count()
+        if n_rows > brute_force_max_rows:
+            raise ValueError(
+                f"add_if_unique(use_lsh=False) is an O(n^2) brute-force "
+                f"cross join (CMinHashDeduplicator API parity); input has "
+                f"{n_rows} rows > brute_force_max_rows="
+                f"{brute_force_max_rows}. Use use_lsh=True (the banded-LSH "
+                f"path) at scale, or raise brute_force_max_rows explicitly."
+            )
         jac = jaccard_udf(cfg)
         left = sk.select(F.col("key").alias("a"), F.col("sig").alias("sig_a"))
         right = sk.select(F.col("key").alias("b"), F.col("sig").alias("sig_b"))
@@ -316,13 +327,40 @@ def add_if_unique(
     return state.select("key", "kept")
 
 
-def exact_dup_flags(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
-    """Exact dedup by full-text equality (hash groupBy): (key, is_dup,
-    group_size, keep) where keep = min key of each text group."""
-    w_cnt = df.groupBy(text_col).agg(
+def exact_dup_flags(
+    df: DataFrame, key_col: str, text_col: str, verify: bool = True
+) -> DataFrame:
+    """Exact dedup by full-text equality: (key, is_dup, group_size,
+    is_survivor) where the survivor is the min key of each text group.
+
+    Scale shape: the aggregation and join key is ``(xxhash64(text),
+    length(text))`` — 16 bytes/row through both exchanges — never the
+    document body. Equal text implies equal (hash, length), so groups are a
+    refinement-free superset keying: a false merge needs a 64-bit xxhash
+    collision at identical length. With ``verify=True`` (default) a second
+    independent 64-bit hash (different seed column prepended) joins the
+    grouping key, so a false merge additionally needs a simultaneous
+    collision of both hashes (~2^-128 per pair) while a hash-split can never
+    create a false dup (splitting a group only turns dups into non-dups,
+    and only under a same-length double-collision). This is the standard
+    production exact-dedup keying; grouping by the raw text would move the
+    full corpus through two shuffles at 100 TB.
+    """
+    gcols = ["_xh", "_len"] + (["_xh2"] if verify else [])
+    keyed = df.select(
+        F.col(key_col),
+        F.xxhash64(text_col).alias("_xh"),
+        F.length(text_col).alias("_len"),
+        *(
+            [F.xxhash64(F.lit("rensa-exact-v2"), text_col).alias("_xh2")]
+            if verify
+            else []
+        ),
+    )
+    w_cnt = keyed.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("group_size"), F.min(key_col).alias("keep")
     )
-    return df.join(w_cnt, text_col).select(
+    return keyed.join(w_cnt, gcols).select(
         F.col(key_col).alias("key"),
         (F.col("group_size") >= 2).alias("is_dup"),
         "group_size",

@@ -68,11 +68,19 @@ def one_shot_flags_from_bands(
     twice). Band rows are consumed EXACTLY ONCE, so the upstream sketch UDF
     needs no checkpoint/persist.
 
-    ``keys``: (key, n_bands) — one row per key with its band-row count
-    (constant cfg.num_bands for the minhash/simhash sketchers); flags are
-    then keys.n_bands minus the key's singleton count. When omitted it is
-    derived from ``bands`` itself, which adds a second scan (the bands are
-    lazily checkpointed in that case).
+    ``keys``: (key, n_bands) — one row per key with its band-row count;
+    flags are then keys.n_bands minus the key's singleton count. When
+    omitted it is derived from ``bands`` itself, which adds a second scan
+    (the bands are lazily checkpointed in that case).
+
+    CONTRACT when passing ``keys`` explicitly: ``n_bands`` must equal the
+    EXACT number of band rows the generator emits per key — the number of
+    EFFECTIVE bands after any folding (``cfg.num_bands // fold``), NOT
+    ``cfg.num_bands``. Overstating it (e.g. passing cfg.num_bands against
+    fold>1 rows) makes sum(inc) < max(n_bands) vacuously true and flags
+    every key a duplicate. The band-row generators in operators/sketch.py
+    validate fold | num_bands and document rows-per-key so callers can
+    derive the literal safely.
     """
     if keys is None:
         bands = bands.localCheckpoint(eager=False)
@@ -319,10 +327,14 @@ def candidate_pairs(
     bands_col: str = "bands",
     hot_bucket_cap: int = 4096,
     sort_keys: DataFrame | None = None,
+    capped_metrics="rensa_capped_buckets",
 ) -> DataFrame:
     """Array-column wrapper over :func:`candidate_pairs_from_band_rows`."""
     return candidate_pairs_from_band_rows(
-        explode_bands(df, key_col, bands_col), hot_bucket_cap, sort_keys
+        explode_bands(df, key_col, bands_col),
+        hot_bucket_cap,
+        sort_keys,
+        capped_metrics=capped_metrics,
     )
 
 
@@ -330,6 +342,7 @@ def candidate_pairs_from_band_rows(
     bands: DataFrame,
     hot_bucket_cap: int = 4096,
     sort_keys: DataFrame | None = None,
+    capped_metrics="rensa_capped_buckets",
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing >=1 band bucket, from
     (key, band_idx, band_hash) rows.
@@ -353,10 +366,26 @@ def candidate_pairs_from_band_rows(
     verified graph is a heuristic subgraph (hub + sig-sorted ring), exact
     for families whose similarity is transitive along the signature order;
     COVERAGE.md documents the caveat for adversarial non-chain families.
+
+    ``capped_metrics``: observable signal that the heuristic regime was
+    entered (round-3 advice): a CollectMetrics node over the bucket sizes
+    emitting ``capped_buckets`` (count over cap) and ``max_bucket_size``.
+    Pass a string name (default) to ship the metrics to every
+    QueryExecutionListener / the Spark UI event log, a
+    ``pyspark.sql.Observation`` to read them programmatically after the
+    first action, or None to disable.
     """
     sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
+    if capped_metrics is not None:
+        sizes = sizes.observe(
+            capped_metrics,
+            F.sum(
+                F.when(F.col("bucket_size") > hot_bucket_cap, 1).otherwise(0)
+            ).alias("capped_buckets"),
+            F.max("bucket_size").alias("max_bucket_size"),
+        )
     bands_sized = bands.join(
         sizes.filter(F.col("bucket_size") >= 2), ["band_idx", "band_hash"]
     )

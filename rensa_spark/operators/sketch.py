@@ -16,11 +16,25 @@ from pyspark.sql import DataFrame
 
 from rensa_spark.config import RensaConfig
 
+
+def _validate_fold(num_bands: int, fold: int) -> None:
+    """Folding merges ``fold`` adjacent bands into one effective band; the
+    row count per key (num_bands // fold) feeds one_shot_flags_from_bands'
+    keys.n_bands contract, so a non-divisor fold would silently mis-flag."""
+    if fold < 1 or num_bands % fold != 0:
+        raise ValueError(
+            f"band fold {fold} must be a positive divisor of num_bands "
+            f"{num_bands}; rows per key = num_bands // fold"
+        )
+
 def rminhash_band_rows(
     df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str, fold: int = 1
 ) -> DataFrame:
     """text -> one row per (key, band_idx, band_hash) effective band.
-    The key column keeps its input type."""
+    Emits exactly ``cfg.num_bands // fold`` rows per key — callers passing a
+    ``keys`` side to one_shot_flags_from_bands must use THAT count as
+    n_bands (see its contract note). The key column keeps its input type."""
+    _validate_fold(cfg.num_bands, fold)
     key_type = df.schema[key_col].dataType.simpleString()
     schema = f"key {key_type}, band_idx int, band_hash long"
 
@@ -51,7 +65,10 @@ def cminhash_band_rows(
 ) -> DataFrame:
     """text -> (key, band_idx, band_hash) over the C-MinHash 32-bit digest
     (the LSH-over-CMinHash path: insert_matrix accepts any digest matrix,
-    src/lsh/py.rs:94-108; digest = sig64 >> 32, src/cminhash/py.rs:156-160)."""
+    src/lsh/py.rs:94-108; digest = sig64 >> 32, src/cminhash/py.rs:156-160).
+    Emits exactly ``cfg.num_bands // fold`` rows per key (see
+    rminhash_band_rows)."""
+    _validate_fold(cfg.num_bands, fold)
     key_type = df.schema[key_col].dataType.simpleString()
     schema = f"key {key_type}, band_idx int, band_hash long"
 

@@ -376,10 +376,12 @@ def _rho_sampled_ctes(cfg: RensaConfig) -> str:
     token-budget subsample (adaptive 3-tier rule + MidpointSampler closed
     form, rho.rs:108-130 / 297-341 / kernels/rho.py:57-123) — plus
     ``rho_counts(doc_id, n)`` with SOURCE token counts."""
-    assert not cfg.rho_token_budget_overridden, (
-        "generated sampling SQL encodes the default 3-tier budget rule; "
-        "regenerate for overridden token budgets"
-    )
+    if cfg.rho_token_budget_overridden:
+        # ValueError (not assert) so the guard survives `python -O`
+        raise ValueError(
+            "generated sampling SQL encodes the default 3-tier budget rule; "
+            "regenerate for overridden token budgets"
+        )
     short_thr = DEFAULT_RHO_SHORT_FULL_TOKEN_THRESHOLD
     med_thr = cfg.rho_medium_token_threshold
     med_budget = cfg.rho_medium_token_budget
@@ -412,10 +414,11 @@ def _rho_mixer_ctes(cfg: RensaConfig) -> str:
     """CTEs (assumes ``sampled``) ending in ``probes(doc_id, bucket, value)``:
     the 4-probe splitmix64 mixer chain (rho.rs:509-533), bucket = mixed %
     num_perm, value = mixed >> 32."""
-    assert not cfg.rho_adaptive_probes, (
-        "generated mixer SQL uses ONE probe count for all rows; "
-        "rho_adaptive_probes (per-row probe counts) needs conditional SQL"
-    )
+    if cfg.rho_adaptive_probes:
+        raise ValueError(
+            "generated mixer SQL uses ONE probe count for all rows; "
+            "rho_adaptive_probes (per-row probe counts) needs conditional SQL"
+        )
     salts = [0x517CC1B727220A95, 0x6EED0E9DA4D94A4F, 0x9E3779B97F4A7C15,
              0xBF58476D1CE4E5B9]
     seed = cfg.seed & ((1 << 64) - 1)
@@ -524,12 +527,21 @@ SELECT v AS doc_id,
 FROM reach GROUP BY v ORDER BY v"""
 
 
-def multimodal_clusters_sql(cfg: RensaConfig, fp_base: int, fp_mod: int) -> str:
+def multimodal_clusters_sql(cfg: RensaConfig) -> str:
     """Oracle for _q_multimodal_clusters: duplicate edges are the UNION of
-    equal-phash groups (here phash = the rolling-hash fingerprint of the
-    caption, the driver-table stand-in for an image perceptual hash) and
-    verified MinHash caption pairs; clusters via recursive reachability,
-    survivor = min key (operators/dedup.py:multimodal_dedup_clusters)."""
+    equal-phash groups and verified MinHash caption pairs; clusters via
+    recursive reachability, survivor = min key
+    (operators/dedup.py:multimodal_dedup_clusters).
+
+    phash derivation (round-3 verdict ask #3): a CAPTION-INDEPENDENT
+    planted stand-in — doc_ids ending in 0/1 form phash pairs
+    (phash = doc_id - doc_id%2), everyone else gets a unique phash
+    (= doc_id; the two value domains cannot collide since pair values are
+    ==0 mod 10 and singleton values are 2..9 mod 10). ~20% of docs gain a
+    phash-only edge to a doc with a DIFFERENT caption, so a broken
+    phash-union branch changes this lane's value hash — the old
+    phash := caption-fingerprint derivation made the lane provably
+    identical to minhash_clusters."""
     thr = cfg.threshold
     return f"""
 WITH RECURSIVE {shingle_hash_ctes(cfg)},
@@ -553,12 +565,8 @@ verified AS MATERIALIZED (
           / {cfg.num_perm} >= {thr}),
 fp AS (
     SELECT doc_id,
-           CASE WHEN text = '' THEN 0
-                ELSE list_reduce(
-                    list_prepend(0::BIGINT,
-                        [unicode(ch)::BIGINT for ch in string_split_regex(text, '')]),
-                    (acc, cp) -> (acc * {fp_base} + cp) % {fp_mod})
-           END AS phash
+           CASE WHEN doc_id % 10 < 2 THEN doc_id - (doc_id % 2)
+                ELSE doc_id END AS phash
     FROM documents),
 fp_edges AS (
     SELECT min(doc_id) OVER (PARTITION BY phash) AS a, doc_id AS b FROM fp),
@@ -649,14 +657,16 @@ def rho_dup_flags_sql(cfg: RensaConfig) -> str:
       second chance over unfolded bands (>= rescue_required matches).
     """
     fold = cfg.effective_band_fold(True, False)
-    assert cfg.rho_recall_rescue_enabled and fold > 1, (
-        "generated refined-flow SQL applies the recall rescue "
-        "unconditionally; the Spark operator gates it on "
-        "rho_recall_rescue_enabled and fold > 1 — regenerate for that config"
-    )
-    assert (
-        cfg.rho_sparse_verify_enabled and cfg.sparse_verify_perm_clamped > 0
-    ), "generated refined-flow SQL assumes sparse verify is active"
+    if not (cfg.rho_recall_rescue_enabled and fold > 1):
+        raise ValueError(
+            "generated refined-flow SQL applies the recall rescue "
+            "unconditionally; the Spark operator gates it on "
+            "rho_recall_rescue_enabled and fold > 1 — regenerate for that config"
+        )
+    if not (cfg.rho_sparse_verify_enabled and cfg.sparse_verify_perm_clamped > 0):
+        raise ValueError(
+            "generated refined-flow SQL assumes sparse verify is active"
+        )
     cap = cfg.rho_sparse_verify_max_candidates
     sv_perm = cfg.sparse_verify_perm_clamped
     thr = cfg.rho_sparse_verify_threshold

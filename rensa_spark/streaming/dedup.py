@@ -155,7 +155,13 @@ def sessionize_events(
     formulation — new session iff ts - prev_ts STRICTLY exceeds the gap
     (an event exactly at prev + gap still merges; pinned by
     test_sessionize_events_gap_semantics) — which the DuckDB oracle
-    evaluates at microsecond precision."""
+    evaluates at microsecond precision.
+
+    Output is UNORDERED (round-3 advice): an embedded orderBy would be
+    rejected by streaming append mode — the normal watermark deployment —
+    so batch callers needing deterministic order sort the result
+    themselves. Pinned by test_sessionize_streaming_matches_batch, which
+    starts the query in BOTH complete and append output modes."""
     sw = F.session_window(F.col(ts_col), gap)
     return (
         events.groupBy(F.col(user_col).alias("user_id"), sw.alias("sw"))
@@ -167,5 +173,4 @@ def sessionize_events(
             F.min(ts_col).alias("session_start"),
         )
         .select("user_id", "session_start", "n_events", "value_cents")
-        .orderBy("user_id", "session_start")
     )

@@ -834,10 +834,10 @@ def test_sessionize_events_gap_semantics(spark):
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, value double"
     )
-    got = [
+    got = sorted(
         (r["user_id"], r["session_start"], r["n_events"], r["value_cents"])
         for r in sessionize_events(df).collect()
-    ]
+    )
     assert got == [
         (1, t0, 4, 1000),
         (1, t0 + dt.timedelta(minutes=118, microseconds=1), 1, 500),
@@ -867,7 +867,11 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
     src = str(tmp_path / "events_src")
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
 
-    batch = sessionize_events(spark.read.parquet(src)).collect()
+    batch = (
+        sessionize_events(spark.read.parquet(src))
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
 
     stream_in = (
         spark.readStream.schema(
@@ -890,3 +894,25 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
     assert len(batch) > 5  # the 45-min gaps actually split sessions
+
+    # append mode — the normal watermark deployment — must ANALYZE and run
+    # (round-3 advice: an orderBy inside the operator raised
+    # AnalysisException here). availableNow's single batch closes no
+    # sessions (the watermark only advances for a NEXT batch), so emitted
+    # rows are a subset of the batch sessions — the gate is that the query
+    # starts and completes without error.
+    q2 = (
+        sessionize_events(stream_in)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream_append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    appended = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM sess_stream_append").collect()
+    }
+    assert appended <= {tuple(r) for r in batch}

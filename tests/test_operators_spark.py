@@ -181,3 +181,74 @@ def test_exact_dup_flags(spark, corpus):
         for k in ids:
             assert got[k]["is_dup"] == (len(ids) >= 2)
             assert got[k]["is_survivor"] == (k == min(ids))
+    # the single-hash keying (verify=False) agrees with the double-hash
+    # default on real data — hash-splits/merges would need 64-bit collisions
+    fast = {
+        r["key"]: r
+        for r in exact_dup_flags(df, "image_id", "caption", verify=False).collect()
+    }
+    for k, r in got.items():
+        assert (r["is_dup"], r["group_size"], r["is_survivor"]) == (
+            fast[k]["is_dup"],
+            fast[k]["group_size"],
+            fast[k]["is_survivor"],
+        )
+
+
+def test_add_if_unique_brute_force_guard(spark, corpus):
+    """The O(n^2) use_lsh=False path refuses inputs over
+    brute_force_max_rows (round-3 verdict ask #7) — the guard must fire
+    BEFORE the cross join is ever scheduled."""
+    from rensa_spark.operators.dedup import add_if_unique
+
+    df = spark.createDataFrame(corpus[["image_id", "caption"]])
+    with pytest.raises(ValueError, match="brute_force_max_rows"):
+        add_if_unique(
+            df, CFG, "image_id", "caption",
+            use_lsh=False, brute_force_max_rows=100,
+        )
+    # under the bound the path still works (collect forces the plan)
+    small = spark.createDataFrame(corpus[["image_id", "caption"]].head(20))
+    out = add_if_unique(
+        small, CFG, "image_id", "caption", use_lsh=False,
+        brute_force_max_rows=100,
+    ).collect()
+    assert len(out) == 20
+
+
+def test_capped_bucket_observation(spark):
+    """Entering the >hot_bucket_cap heuristic regime emits an observable
+    CollectMetrics signal (round-3 advice): capped_buckets counts buckets
+    over the cap, max_bucket_size reports the worst one; a run with no
+    capped bucket reports zero."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from rensa_spark.operators.lsh import (
+        candidate_pairs_from_band_rows,
+        explode_bands,
+    )
+
+    rows = [(f"k{i:03d}", [7, 7]) for i in range(40)]  # one 40-member bucket x2 bands
+    df = spark.createDataFrame(rows, "key string, bands array<long>")
+    bands = explode_bands(df, "key")
+
+    obs = Observation("capped")
+    pairs = candidate_pairs_from_band_rows(
+        bands, hot_bucket_cap=8, capped_metrics=obs
+    )
+    n = pairs.count()
+    assert n > 0
+    assert obs.get["capped_buckets"] == 2
+    assert obs.get["max_bucket_size"] == 40
+
+    obs2 = Observation("uncapped")
+    pairs2 = candidate_pairs_from_band_rows(
+        bands, hot_bucket_cap=4096, capped_metrics=obs2
+    )
+    pairs2.count()
+    assert obs2.get["capped_buckets"] == 0
+    assert obs2.get["max_bucket_size"] == 40
+    # capped vs not must agree on the connected keys (star+ring covers all)
+    assert pairs.selectExpr("a AS k").union(pairs.selectExpr("b")).distinct().count() == \
+        pairs2.selectExpr("a AS k").union(pairs2.selectExpr("b")).distinct().count()

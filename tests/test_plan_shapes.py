@@ -94,6 +94,27 @@ def test_multimodal_clusters_never_scan_bytes(image_table):
         assert "bytes" not in line, line
 
 
+def test_exact_dedup_exchanges_carry_no_text(image_table):
+    """exact_dup_flags (round-4 fix): both exchanges key on
+    (xxhash64, length[, xxhash64-seed2]) — the document body must never
+    enter a shuffle. At 100 TB the old groupBy(text)+join(text) plan moved
+    the corpus through two exchanges; the hash keying moves ~24 bytes/row."""
+    from rensa_spark.operators.dedup import exact_dup_flags
+
+    plan = _formatted_plan(exact_dup_flags(image_table, "image_id", "caption"))
+    assert len(re.findall(r"\) Exchange", plan)) >= 1
+    # formatted explain lists each node's Input/Arguments in a details
+    # section keyed by "(n) NodeName"; assert no Exchange block mentions
+    # the text column
+    blocks = re.split(r"\n\n", plan)
+    exch = [b for b in blocks if b.startswith("(") and "Exchange" in b.splitlines()[0]]
+    assert exch, plan
+    for b in exch:
+        assert "caption" not in b, b
+    # and the hashes are computed BEFORE the exchange (project under scan)
+    assert "xxhash64" in plan
+
+
 def test_bucketed_stage_tables_join_without_shuffle(spark, tmp_path):
     """North-rule bucketing strategy, pinned: stage tables written with
     bucketBy(key) + sortBy(key) join on key with ZERO exchanges — the

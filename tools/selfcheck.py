@@ -1,7 +1,10 @@
 """Driver-contract self-check: runs entry(spark) + every queries() entry at a
 given sf and compares against oracle_sql() via DuckDB, mimicking the
 per-round CORRECTNESS harness (row count + schema + order-insensitive
-value hash). Usage: python tools/selfcheck.py [sf_dir]"""
+value hash). Usage: python tools/selfcheck.py [sf_dir] [query ...]
+(naming queries after sf_dir restricts the run to those lanes and skips the
+entry smoke — a builder-iteration convenience; the round gate is the full
+run ending ALL OK)"""
 
 from __future__ import annotations
 
@@ -32,18 +35,20 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     import __spark_entry__ as entrymod
     from rensa_spark.session import get_spark
 
     spark = get_spark(app_name="selfcheck", master="local[8]", shuffle_partitions=16)
 
-    print("== entry(spark) smoke ==")
-    res = entrymod.entry(spark)
-    out = res.limit(5).toPandas()
-    n = res.count()
-    print(f"entry rows={n} schema={[f.name for f in res.schema.fields]}")
-    assert n >= 0
-    print(out.to_string())
+    if not only:
+        print("== entry(spark) smoke ==")
+        res = entrymod.entry(spark)
+        out = res.limit(5).toPandas()
+        n = res.count()
+        print(f"entry rows={n} schema={[f.name for f in res.schema.fields]}")
+        assert n >= 0
+        print(out.to_string())
 
     con = duckdb.connect()
     for t in TABLES:
@@ -54,6 +59,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"[rows-only] {name}: rows={len(sdf)} cols={sorted(sdf.columns)}")
