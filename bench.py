@@ -5,7 +5,16 @@ reference's benchmark metric, /root/reference/benchmarks/full_benchmark.py).
 
 Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "lanes": {name: {"sec", "trials", "load_before", "load_after", "err"}},
  "sf": ..., "sigs_per_sec": ..., "dedup_rows_per_sec": ...}
+
+Trust protocol (round-3 verdict ask #4): EVERY lane is best-of-N (default
+2 — this host's run-to-run CPU variance poisons single shots; the same lane
+measured 17.1s then 1.4s back-to-back in one session, see CLAUDE.md);
+os.getloadavg() is recorded before/after each lane so a contended window is
+visible in the artifact itself; any lane error is captured into that lane's
+"err" field (and "errors" at top level) instead of riding the stderr tail —
+the output line is ALWAYS valid JSON with zero embedded stack traces.
 
 Scaling-efficiency evidence (N vs 4N cores) lives in tools/scaling_bench.py
 -> BENCH/BASELINE.md (too slow to run per-round).
@@ -23,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SYNTH_ROWS = int(os.environ.get("BENCH_SYNTH_ROWS", "200000"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
 
 
 def _synth_corpus_path() -> str:
@@ -38,13 +48,46 @@ def _synth_corpus_path() -> str:
     return path
 
 
+class LaneRunner:
+    """best-of-N lane timing with per-lane load + error capture."""
+
+    def __init__(self, trials: int = TRIALS):
+        self.trials = trials
+        self.lanes: dict[str, dict] = {}
+        self.timings: dict[str, float] = {}
+
+    def run(self, name: str, fn, trials: int | None = None) -> float | None:
+        rec: dict = {
+            "sec": None,
+            "trials": 0,
+            "load_before": round(os.getloadavg()[0], 2),
+            "load_after": None,
+            "err": None,
+        }
+        best = float("inf")
+        try:
+            for _ in range(trials or self.trials):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+                rec["trials"] += 1
+        except Exception as exc:  # noqa: BLE001 — captured into the artifact
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:500]
+        rec["load_after"] = round(os.getloadavg()[0], 2)
+        if rec["trials"]:
+            rec["sec"] = round(best, 3)
+            self.timings[name] = rec["sec"]
+        self.lanes[name] = rec
+        return rec["sec"]
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as em
     from rensa_spark.config import RensaConfig
     from rensa_spark.functions.udfs import rminhash_sig_udf
-    from rensa_spark.operators.dedup import dup_flags
+    from rensa_spark.operators.dedup import dup_flags, exact_dup_flags
     from rensa_spark.session import get_spark
 
     cfg = RensaConfig(num_perm=128, seed=12345, threshold=0.8, num_bands=8, ngram_size=3)
@@ -55,7 +98,7 @@ def main() -> None:
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 32),
     )
-    timings: dict[str, float] = {}
+    runner = LaneRunner()
 
     # warm the Python UDF workers (imports of pandas/numpy/rensa_spark per
     # worker process dominate otherwise; a real long-running cluster
@@ -75,58 +118,36 @@ def main() -> None:
     )
     warm_df.select(_warm("t")).write.format("noop").mode("overwrite").save()
 
-    # headline driver queries at SF_DIR — best-of-2 per lane (this host's
-    # run-to-run CPU variance poisons single-shot timings: the same lane
-    # measured 17.1s then 1.4s back-to-back in one session; see CLAUDE.md).
-    # Lanes whose first trial exceeds RETRY_BELOW skip the retry so the
-    # suite's worst-case wall stays bounded for the per-round driver run.
-    RETRY_BELOW = float(os.environ.get("BENCH_RETRY_BELOW_SEC", "3.0"))
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # headline driver queries at SF_DIR
     for name, fn in em.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        best = time.perf_counter() - t0
-        if best < RETRY_BELOW:
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        runner.run(name, lambda fn=fn: _noop(fn(spark, SF_DIR)))
 
     # the synthetic corpus is one ~35MB parquet file = 1 input split; spread
     # it across the executor threads like a real multi-file table would be
     corpus = spark.read.parquet(corpus_path).repartition(CPUS * 3).cache()
     n_rows = corpus.count()
 
-    def best_of(fn, trials: int = 2) -> float:
-        # best-of-N: this host shows heavy run-to-run CPU variance
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        return best
-
     # signatures/sec: sketch only (num_perm=128 u32 slots per row)
     sig = rminhash_sig_udf(cfg)
-    sketch_sec = best_of(
-        lambda: corpus.select(
-            F.aggregate(
-                sig("caption"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
-            ).alias("s")
-        )
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
+    runner.run(
+        "synthetic_sketch_200k",
+        lambda: _noop(
+            corpus.select(
+                F.aggregate(
+                    sig("caption"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+                ).alias("s")
+            )
+        ),
     )
-    timings["synthetic_sketch_200k"] = round(sketch_sec, 3)
 
     # end-to-end one-shot dup flags (the reference benchmark lane)
-    dedup_sec = best_of(
-        lambda: dup_flags(corpus, cfg, "image_id", "caption")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
+    runner.run(
+        "synthetic_oneshot_dedup_200k",
+        lambda: _noop(dup_flags(corpus, cfg, "image_id", "caption")),
     )
-    timings["synthetic_oneshot_dedup_200k"] = round(dedup_sec, 3)
 
     # sparse-heavy rho lane (round-1 perf findings: the per-row sparse-verify
     # sidecar loop + row-at-a-time candidate verify, both since vectorized):
@@ -143,13 +164,10 @@ def main() -> None:
     ).cache()
     sparse_corpus.count()
     engine = RhoEngine(cfg)
-    sparse_sec = best_of(
-        lambda: engine.dup_flags(sparse_corpus, "image_id", "caption")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
+    runner.run(
+        "synthetic_rho_sparse_200k",
+        lambda: _noop(engine.dup_flags(sparse_corpus, "image_id", "caption")),
     )
-    timings["synthetic_rho_sparse_200k"] = round(sparse_sec, 3)
 
     # degenerate corpora (round-2 verdict asks #1/#3): a 10k-identical-sig
     # block inside 50k rows (simhash pair lane must collapse it, not join it)
@@ -171,14 +189,10 @@ def main() -> None:
     hot_df.count()
     from rensa_spark.operators.similarity import simhash_near_pairs
 
-    simhash_hot_sec = best_of(
-        lambda: simhash_near_pairs(hot_df, cfg, "image_id", "caption")
-        .write.format("noop")
-        .mode("overwrite")
-        .save(),
-        trials=1,  # ~C(10k,2) output rows; one trial keeps the suite bounded
+    runner.run(
+        "synthetic_simhash_hot_50k",
+        lambda: _noop(simhash_near_pairs(hot_df, cfg, "image_id", "caption")),
     )
-    timings["synthetic_simhash_hot_50k"] = round(simhash_hot_sec, 3)
 
     empty_df = (
         spark.range(0, 100_000, 1, CPUS)
@@ -186,16 +200,38 @@ def main() -> None:
         .cache()
     )
     empty_df.count()
-    degen_sec = best_of(
-        lambda: dup_flags(empty_df, cfg, "image_id", "caption")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
+    runner.run(
+        "synthetic_degenerate_flags_100k",
+        lambda: _noop(dup_flags(empty_df, cfg, "image_id", "caption")),
     )
-    timings["synthetic_degenerate_flags_100k"] = round(degen_sec, 3)
+
+    # exact-dedup shuffle-bytes lane (round-3 verdict ask #1): 20k documents
+    # of ~10KB each (~200MB of text). The hash-keyed exact_dup_flags moves
+    # ~24 bytes/row through its two exchanges; the retired groupBy(text)
+    # plan moved all ~200MB twice. 10% planted exact dups.
+    body_words = np.array([f"tok{i:04d}" for i in range(5000)])
+    docs = []
+    for i in range(20_000):
+        seed = i if i < 18_000 else i - 18_000  # ids >= 18k repeat an earlier body
+        r = np.random.default_rng(seed)
+        docs.append(" ".join(r.choice(body_words, size=1400)))
+    big_pdf = pd.DataFrame(
+        {"image_id": np.arange(20_000, dtype=np.int64), "caption": docs}
+    )
+    big_df = spark.createDataFrame(big_pdf).repartition(CPUS).cache()
+    big_df.count()
+    runner.run(
+        "synthetic_exact_dedup_10kb_20k",
+        lambda: _noop(exact_dup_flags(big_df, "image_id", "caption")),
+    )
 
     spark.stop()
+    timings = runner.timings
     total = round(sum(timings.values()), 3)
+    sketch_sec = timings.get("synthetic_sketch_200k")
+    dedup_sec = timings.get("synthetic_oneshot_dedup_200k")
+    sparse_sec = timings.get("synthetic_rho_sparse_200k")
+    errors = sorted(n for n, r in runner.lanes.items() if r["err"])
     print(
         json.dumps(
             {
@@ -203,16 +239,20 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "lanes": runner.lanes,
+                "errors": errors,
                 "sf": SF_DIR,
                 "synthetic_rows": n_rows,
-                "sigs_per_sec": round(n_rows / sketch_sec, 1),
-                "dedup_rows_per_sec": round(n_rows / dedup_sec, 1),
-                "sparse_rho_rows_per_sec": round(n_rows / sparse_sec, 1),
+                "sigs_per_sec": round(n_rows / sketch_sec, 1) if sketch_sec else None,
+                "dedup_rows_per_sec": round(n_rows / dedup_sec, 1) if dedup_sec else None,
+                "sparse_rho_rows_per_sec": round(n_rows / sparse_sec, 1) if sparse_sec else None,
                 "cpus": CPUS,
-                "trials_per_lane": "2 when first trial < 3s, else 1",
+                "trials_per_lane": TRIALS,
             }
         )
     )
+    if errors:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
