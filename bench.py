@@ -205,6 +205,39 @@ def main() -> None:
         lambda: _noop(dup_flags(empty_df, cfg, "image_id", "caption")),
     )
 
+    # degenerate ANN lane (round-3 verdict ask #2): 50k embeddings where a
+    # 10k block is ONE identical vector (worst-case bucket) and the other
+    # 40k random rows overflow every 6-plane bucket past hot_bucket_cap —
+    # the identical block must collapse to one representative (its ~50M
+    # output pairs are the true answer, salted over 16 reducers) and the
+    # hot buckets must take the extra-plane sub-split, keeping join rows
+    # bounded instead of O(n^2/64).
+    from rensa_spark.operators.similarity import ann_near_dup_pairs
+
+    dim_ann = 32
+    rng_ann = np.random.default_rng(4242)
+    base_vecs = rng_ann.normal(size=(40_000, dim_ann)).astype(np.float32)
+    block_vec = np.tile(
+        rng_ann.normal(size=(1, dim_ann)).astype(np.float32), (10_000, 1)
+    )
+    ann_pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(50_000, dtype=np.int64),
+            "embedding": [v.tolist() for v in np.vstack([base_vecs, block_vec])],
+        }
+    )
+    ann_df = spark.createDataFrame(ann_pdf).repartition(CPUS).cache()
+    ann_df.count()
+    runner.run(
+        "synthetic_ann_hot_50k",
+        lambda: _noop(
+            ann_near_dup_pairs(
+                ann_df, "vec_id", "embedding", min_cosine=0.3, n_planes=6,
+                dim=dim_ann, hot_bucket_cap=512, extra_planes=6,
+            )
+        ),
+    )
+
     # exact-dedup shuffle-bytes lane (round-3 verdict ask #1): 20k documents
     # of ~10KB each (~200MB of text). The hash-keyed exact_dup_flags moves
     # ~24 bytes/row through its two exchanges; the retired groupBy(text)

@@ -72,11 +72,12 @@ def verified_pairs(
         sketched.select(F.col(key_col).alias("key"), "bands"),
         "key",
         hot_bucket_cap=cfg.hot_bucket_cap,
-        # >cap buckets ring-link members in signature order so chain-similar
-        # families keep verified edges (arrays are orderable in Spark SQL)
+        # >cap buckets: exact in-task verify up to exact_task_cap members
+        # (capped == uncapped), hub + sig-sorted ring beyond that
         sort_keys=sketched.select(
             F.col(key_col).alias("key"), F.col("sig").alias("sort_key")
         ),
+        verify_threshold=cfg.threshold,
     )
     sigs = sketched.select(F.col(key_col).alias("key"), "sig")
     return _verify_pairs(pairs, sigs, cfg)
@@ -93,6 +94,7 @@ def verified_pairs_from_band_rows(
         band_rows,
         cfg.hot_bucket_cap,
         sort_keys=sigs.select("key", F.col("sig").alias("sort_key")),
+        verify_threshold=cfg.threshold,
     )
     return _verify_pairs(pairs, sigs, cfg)
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rensa_spark.config import RensaConfig
@@ -335,21 +335,49 @@ def ann_near_dup_pairs(
     n_planes: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    hot_bucket_cap: int = 2048,
+    extra_planes: int = 6,
+    expand_salts: int = 16,
+    capped_metrics="rensa_ann_capped_buckets",
 ) -> DataFrame:
     """UNBLOCKED embedding near-dup pairs (a < b, cosine >= min_cosine)
     via hyperplane sign buckets: candidates share the full sign pattern,
     verification is the exact int64 fixed-point cosine — deterministic and
-    SQL-checkable (duck_sql.ann_near_dup_sql). The scale lane when no
-    blocking key exists: one self-equi-join on ``bucket``; bucket count is
-    2^n_planes, so raise ``n_planes`` with corpus size to bound bucket
-    membership (recall is approximate by design — pairs in different
-    buckets are not candidates; multiprobe is deliberately omitted here to
-    keep the pair set a pure function of one bucket assignment)."""
+    SQL-checkable (duck_sql.ann_near_dup_sql). Recall is approximate by
+    design — pairs in different buckets are not candidates; multiprobe is
+    deliberately omitted to keep the pair set a pure function of the
+    bucket assignment.
+
+    Scale shape (round-3 verdict ask #2 — the fixed 2^n_planes bucket
+    domain made the self-join O(n^2/2^n_planes) at large n):
+
+    1. identical QUANTIZED vectors collapse to one representative before
+       any join (the vq array is the group identity, mirroring the simhash
+       identical-sig collapse): a degenerate all-same-vector region
+       contributes ONE row to candidate generation; its output-sized
+       within-group pair expansion (cosine is exactly the self-score) is
+       salted over ``expand_salts`` reducers. Cosine is a pure function of
+       (vq_a, vq_b), so every member pair inherits its representative
+       pair's score — collapse is EXACT, never approximate.
+    2. buckets whose DISTINCT-vector count exceeds ``hot_bucket_cap`` are
+       subdivided by ``extra_planes`` additional quantized hyperplanes
+       (independent seed), computed JVM-side from vq; candidates there
+       must share the sub-pattern too. This bounds expected membership by
+       another 2^extra_planes at a recall trade INSIDE hot buckets only —
+       small-SF oracles never reach the cap, so the SQL oracle is
+       unchanged. Entering this regime is observable via
+       ``capped_metrics`` (CollectMetrics: capped_buckets,
+       max_bucket_distinct — same contract as candidate_pairs).
+    """
     if dim is None:
         dim = len(
             np.asarray(df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0])
         )
     planes = quantized_hyperplanes(dim, n_planes, seed)
+    # independent second bank for hot-bucket subdivision (splitmix-style
+    # seed offset; any fixed distinct seed works — independence from bank 1
+    # is what splits vectors that agree on the first n_planes signs)
+    planes2 = quantized_hyperplanes(dim, extra_planes, seed + 7919)
 
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import LongType
@@ -373,32 +401,129 @@ def ann_near_dup_pairs(
     ).withColumn(
         "n2", F.aggregate("vq", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
     )
-    x = side.alias("x")
-    y = side.alias("y")
+    # group identity = the vq value itself; gid/cnt ride along via ONE
+    # window over the vq partitioning (no array-keyed join anywhere)
+    wv = Window.partitionBy("vq")
+    members = (
+        side.withColumn("gid", F.min("vid").over(wv))
+        .withColumn("cnt", F.count(F.lit(1)).over(wv))
+        .localCheckpoint(eager=False)
+    )  # consumed by reps + both expansions
+
+    def _score(dot, n2a, n2b):
+        return F.when(
+            (n2a > 0) & (n2b > 0),
+            dot.cast("double")
+            / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))),
+        ).otherwise(F.lit(0.0))
+
+    # within-group pairs: identical vq, score = the self-score computed
+    # with the SAME formula as the pair path (bit-identical to the naive
+    # all-pairs join). Output-sized, salted over min(cnt, expand_salts)
+    # reducers per group (left keyed by hash(vid) mod the group's salt
+    # domain, right replicated once per salt — each unordered pair matches
+    # exactly once).
+    multi = members.filter(
+        (F.col("cnt") >= 2)
+        & (_score(F.col("n2"), F.col("n2"), F.col("n2")) >= min_cosine)
+    )
+    s_g = F.least(F.col("cnt"), F.lit(expand_salts)).cast("long")
+    w_left = multi.select(
+        "gid",
+        F.col("vid").alias("a"),
+        F.pmod(F.xxhash64("vid"), s_g).cast("int").alias("salt"),
+        "n2",
+    )
+    w_right = multi.select(
+        "gid",
+        F.col("vid").alias("b"),
+        F.explode(F.sequence(F.lit(0), (s_g - 1).cast("int"))).alias("salt"),
+    )
+    within = (
+        w_left.join(w_right, ["gid", "salt"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(_score(F.col("n2"), F.col("n2"), F.col("n2")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+
+    # cross-group candidates over DISTINCT vectors only
+    reps = members.filter(F.col("vid") == F.col("gid")).select(
+        "gid", "vq", "bucket", "n2"
+    ).localCheckpoint(eager=False)
+    sizes = reps.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_distinct"))
+    if capped_metrics is not None:
+        sizes = sizes.observe(
+            capped_metrics,
+            F.sum(
+                F.when(F.col("n_distinct") > hot_bucket_cap, 1).otherwise(0)
+            ).alias("capped_buckets"),
+            F.max("n_distinct").alias("max_bucket_distinct"),
+        )
+    sized = reps.join(sizes, "bucket")
+
+    def _sub_bucket():
+        bits = []
+        for j in range(extra_planes):
+            pj = F.array(*[F.lit(int(c)) for c in planes2[j]])
+            dotj = F.aggregate(
+                F.zip_with("vq", pj, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dotj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    small = sized.filter(F.col("n_distinct") <= hot_bucket_cap).withColumn(
+        "sub", F.lit(0)
+    )
+    hot = sized.filter(F.col("n_distinct") > hot_bucket_cap).withColumn(
+        "sub", _sub_bucket()
+    )
+    rep_side = small.unionByName(hot).select("gid", "vq", "bucket", "sub", "n2")
+    x = rep_side.alias("x")
+    y = rep_side.alias("y")
     dot = F.aggregate(
         F.zip_with(F.col("x.vq"), F.col("y.vq"), lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    score = F.when(
-        (F.col("x.n2") > 0) & (F.col("y.n2") > 0),
-        dot.cast("double")
-        / (F.sqrt(F.col("x.n2").cast("double")) * F.sqrt(F.col("y.n2").cast("double"))),
-    ).otherwise(F.lit(0.0))
-    return (
+    rep_pairs = (
         x.join(
             y,
             (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vid") < F.col("y.vid")),
+            & (F.col("x.sub") == F.col("y.sub"))
+            & (F.col("x.gid") < F.col("y.gid")),
         )
-        .withColumn("cosine", score)
+        .withColumn("cosine", _score(dot, F.col("x.n2"), F.col("y.n2")))
         .filter(F.col("cosine") >= min_cosine)
         .select(
-            F.col("x.vid").alias("a"),
-            F.col("y.vid").alias("b"),
+            F.col("x.gid").alias("gid_a"),
+            F.col("y.gid").alias("gid_b"),
+            "cosine",
+        )
+    )
+    # multiplicity expansion: every member pair inherits the representative
+    # score exactly (cosine is a function of vq alone). Output-sized.
+    ma = members.select(F.col("gid").alias("gid_a"), F.col("vid").alias("va"))
+    mb = members.select(F.col("gid").alias("gid_b"), F.col("vid").alias("vb"))
+    cross = (
+        rep_pairs.join(ma, "gid_a")
+        .join(mb, "gid_b")
+        .select(
+            F.least("va", "vb").alias("a"),
+            F.greatest("va", "vb").alias("b"),
             F.round("cosine", 6).alias("cosine"),
         )
     )
+    return within.unionByName(cross)
 
 
 def embedding_near_dup_pairs(
