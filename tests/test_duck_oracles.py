@@ -204,19 +204,20 @@ def test_sql_rho_dup_flags_match_pyrensa(con, corpus):
 def test_oracle_generators_reject_nondefault_configs():
     """The generated SQL encodes default-config control flow; non-default
     RensaConfigs must be rejected loudly instead of producing silently wrong
-    oracles (round-2 advice)."""
+    oracles (round-2 advice). ValueError, not AssertionError, so the guard
+    survives `python -O` (round-3 advice)."""
     import pytest
 
     from rensa_spark.config import RensaConfig
     from rensa_spark.oracle import duck_sql as D
 
-    with pytest.raises(AssertionError, match="probe count"):
+    with pytest.raises(ValueError, match="probe count"):
         D.rho_sidecar_sql(RensaConfig(num_perm=128, num_bands=8, rho_adaptive_probes=True))
-    with pytest.raises(AssertionError, match="token budget|budget rule"):
+    with pytest.raises(ValueError, match="token budget|budget rule"):
         D.rho_sidecar_sql(
             RensaConfig(num_perm=128, num_bands=8, rho_token_budget_overridden=True)
         )
-    with pytest.raises(AssertionError, match="recall rescue"):
+    with pytest.raises(ValueError, match="recall rescue"):
         D.rho_dup_flags_sql(
             RensaConfig(num_perm=128, num_bands=8, rho_recall_rescue_enabled=False)
         )
