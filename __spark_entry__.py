@@ -317,6 +317,105 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality gates, pure JVM: duplicate-word
+    fraction and most-frequent-bigram mass per document — the standard
+    boilerplate/low-entropy filters of a pretraining pipeline. One explode +
+    two aggregations; nothing but (doc_id, counts) shuffles."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.when(
+            F.size("toks") < 2, F.array().cast("array<string>")
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.array_join(F.slice("toks", i + 1, 2), " "),
+            )
+        )
+        .alias("bgs"),
+    ).localCheckpoint(eager=False)
+    top = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    1.0 - F.col("n_distinct") / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_word_ratio"),
+            F.round(
+                F.when(
+                    F.size("bgs") > 0,
+                    F.coalesce("top_bigram_count", F.lit(0)) / F.size("bgs"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    5-gram with a held-out benchmark set (here: docs with doc_id % 10 == 0
+    stand in for the benchmark). The benchmark gram set is tiny relative to
+    the corpus, so it is BROADCAST — at 100 TB the corpus-side scan never
+    shuffles; each task filters its grams against the in-memory set.
+    -> (doc_id, n_overlap_grams, contaminated) for non-benchmark docs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.when(F.size("toks") < 5, F.array().cast("array<string>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 5),
+                    lambda i: F.array_join(F.slice("toks", i + 1, 5), " "),
+                )
+            )
+            .alias("gs"),
+        )
+        .select("doc_id", F.explode(F.array_distinct("gs")).alias("g"))
+    )
+    bench_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    hits = (
+        train.join(F.broadcast(bench_grams), "g", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap_grams", F.lit(0)).cast("long").alias(
+                "n_overlap_grams"
+            ),
+            (F.coalesce("n_overlap_grams", F.lit(0)) >= 1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch view of the streaming rollup)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -722,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "events_hourly_stats": _q_events_hourly_stats,
         "user_sessions": _q_user_sessions,
+        "repetition_quality": _q_repetition_quality,
+        "decontamination": _q_decontamination,
         "simhash_dup_flags": _q_simhash_dup_flags,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "add_if_unique": _q_add_if_unique,
@@ -868,6 +969,68 @@ def oracle_sql() -> dict[str, str]:
                    sum(cents)::BIGINT AS value_cents
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start
+        """,
+        "repetition_quality": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS tokens
+                FROM documents),
+            base AS (
+                SELECT doc_id, len(tokens) AS n_words,
+                       len(list_distinct(tokens)) AS n_distinct,
+                       CASE WHEN len(tokens) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(
+                                generate_series(1, len(tokens) - 1),
+                                i -> tokens[i] || ' ' || tokens[i+1]) END AS bgs
+                FROM toks),
+            top AS (
+                SELECT doc_id, max(c) AS top_c FROM (
+                    SELECT doc_id, bg, count(*) AS c
+                    FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+                    GROUP BY doc_id, bg)
+                GROUP BY doc_id)
+            SELECT b.doc_id,
+                   b.n_words::BIGINT AS n_words,
+                   round(CASE WHEN b.n_words > 0
+                              THEN 1.0 - b.n_distinct::DOUBLE / b.n_words
+                              ELSE 0.0 END, 6) AS dup_word_ratio,
+                   round(CASE WHEN len(b.bgs) > 0
+                              THEN coalesce(t.top_c, 0)::DOUBLE / len(b.bgs)
+                              ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM base b LEFT JOIN top t USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "decontamination": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS tokens
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(tokens) < 5 THEN []::VARCHAR[]
+                            ELSE list_transform(
+                                generate_series(1, len(tokens) - 4),
+                                i -> tokens[i] || ' ' || tokens[i+1] || ' ' ||
+                                     tokens[i+2] || ' ' || tokens[i+3] || ' ' ||
+                                     tokens[i+4]) END AS gs
+                FROM toks),
+            dg AS MATERIALIZED (
+                SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams),
+            bench AS MATERIALIZED (
+                SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 0),
+            hits AS (
+                SELECT doc_id, count(*) AS n
+                FROM dg
+                WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM bench)
+                GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n, 0)::BIGINT AS n_overlap_grams,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY doc_id
         """,
         "substring_overlap": """
             WITH w AS (

@@ -195,7 +195,189 @@ def test_decode_stub_raises_for_unknown_format():
     from rensa_spark.operators.multimodal import decode_pixels
 
     with pytest.raises(NotImplementedError):
-        decode_pixels(b"\x89PNG...", "png")
+        decode_pixels(b"\xff\xd8\xff\xe0...", "jpeg")
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Round-4: PNG decodes for real (stdlib zlib). Round-trip through the
+    filter-0 encoder, plus hand-filtered images exercising every PNG row
+    filter type (Sub/Up/Average/Paeth) against the spec-defined forward
+    filter."""
+    import struct
+    import zlib
+
+    from rensa_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(px)) == px).all()
+
+    def forward_filter(px, ftype):
+        h, w, ch = px.shape
+        stride = w * ch
+        flat = px.reshape(h, stride).astype(np.int32)
+        out = np.zeros((h, stride + 1), dtype=np.uint8)
+        for y in range(h):
+            out[y, 0] = ftype
+            prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+            for i in range(stride):
+                x = flat[y, i]
+                a = flat[y, i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if (i >= ch and y) else 0
+                if ftype == 1:
+                    v = x - a
+                elif ftype == 2:
+                    v = x - b
+                elif ftype == 3:
+                    v = x - ((a + b) >> 1)
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = x - pred
+                out[y, i + 1] = v & 0xFF
+        return out
+
+    def build_png(px, ftype):
+        h, w, ch = px.shape
+
+        def chunk(ctype, payload):
+            crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", crc)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+        scan = forward_filter(px, ftype)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + chunk(b"IEND", b"")
+        )
+
+    for ftype in (1, 2, 3, 4):
+        got = decode_png(build_png(px, ftype))
+        assert (got == px).all(), f"filter {ftype}"
+    # RGBA input: alpha dropped, RGB planes exact
+    rgba = rng.integers(0, 256, size=(5, 9, 4), dtype=np.uint8)
+    got = decode_png(build_png(rgba, 4))
+    assert (got == rgba[:, :, :3]).all()
+
+
+def test_bmp_codec_roundtrip():
+    """24-bit BMP: odd width exercises the 4-byte row padding; a hand-built
+    top-down (negative height) payload must decode to the same pixels as
+    the bottom-up encoder output."""
+    import struct
+
+    from rensa_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)  # stride pads
+    data = encode_bmp(px)
+    assert (decode_bmp(data) == px).all()
+
+    # top-down variant: negate height, rows in natural order
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)
+    td = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + body.size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, body.size, 0, 0, 0, 0)
+        + body.tobytes()
+    )
+    assert (decode_bmp(td) == px).all()
+
+
+def test_wav_codec_and_audio_features(spark):
+    """RIFF PCM16 WAV: round-trip, chunk-walk past a LIST chunk, stereo
+    averaged to mono; audio_features computes identical numbers for the
+    same samples delivered as rawa and as wav."""
+    import struct
+
+    from rensa_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(13)
+    samples = rng.integers(-3000, 3000, size=801, dtype=np.int16)
+    data = encode_wav(16000, samples)
+    sr, got = decode_wav(data)
+    assert sr == 16000 and (got == samples.astype(np.float64)).all()
+
+    # LIST chunk between fmt and data must be skipped
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm = samples.tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd -> padded
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    sr2, got2 = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert sr2 == 8000 and (got2 == samples.astype(np.float64)).all()
+
+    # stereo -> mono mean
+    stereo = np.stack([samples, samples + 100], axis=1).reshape(-1)
+    fmt_st = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    pcm_st = stereo.astype("<i2").tobytes()
+    body_st = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_st)) + fmt_st
+        + b"data" + struct.pack("<I", len(pcm_st)) + pcm_st
+    )
+    _, mono = decode_wav(b"RIFF" + struct.pack("<I", len(body_st)) + body_st)
+    assert np.allclose(mono, samples.astype(np.float64) + 50.0)
+
+    # Spark lane parity: same clip as rawa and wav
+    raw_payload = np.array([16000], dtype=np.uint32).tobytes() + samples.tobytes()
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "audio_id": ["r1", "w1"],
+                "bytes": [raw_payload, data],
+                "fmt": ["rawa", "wav"],
+            }
+        )
+    )
+    rows = {r["key"]: r for r in audio_features(df).collect()}
+    assert rows["r1"]["n_samples"] == rows["w1"]["n_samples"] == 801
+    assert rows["r1"]["rms"] == rows["w1"]["rms"]
+    assert rows["r1"]["zero_crossings"] == rows["w1"]["zero_crossings"]
+
+
+def test_image_stats_decodes_png_and_bmp(spark):
+    """image_stats runs the real PNG/BMP decoders inside the Arrow batches:
+    the decoded-pixel phash must equal the phash of the source pixels."""
+    from rensa_spark.operators.multimodal import encode_bmp, encode_png, image_stats
+    from rensa_spark.sources.synthetic import phash_of_pixels
+
+    rng = np.random.default_rng(14)
+    px1 = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    px2 = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["p1", "b1"],
+                "bytes": [encode_png(px1), encode_bmp(px2)],
+                "w": np.int32(8),
+                "h": np.int32(8),
+                "fmt": ["png", "bmp"],
+                "caption": ["a", "b"],
+                "phash": [phash_of_pixels(px1), phash_of_pixels(px2)],
+            }
+        )
+    )
+    got = {r["image_id"]: r for r in image_stats(df).collect()}
+    assert got["p1"]["px_phash"] == got["p1"]["phash"]
+    assert got["b1"]["px_phash"] == got["b1"]["phash"]
 
 
 def test_near_dup_pixels_meet_psnr_bound():

@@ -229,3 +229,100 @@ spark.stop()
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
         results.append(json.loads(line[len("RESULT ") :]))
     assert results[0] == results[1]
+
+
+def test_insert_matrix_retro_flagging_equals_one_shot(spark):
+    """Closes round-3 'missing #3': the reference's ORDER-DEPENDENT
+    insert_matrix_and_query_duplicate_flags scan (src/lsh/py.rs:119-162 —
+    flag a row when its bucket is non-empty at insert time, retro-flag a
+    bucket's single pre-existing same-batch member) produces, for any input
+    order, exactly the order-INSENSITIVE one-shot flags this engine
+    computes: flag(i) <=> i shares a band bucket with another batch row or
+    an index entry. The sequential loop is transcribed faithfully below and
+    compared against dup_flags (empty index) and LshIndex.one_shot_flags
+    (pre-populated index) on the synthetic corpus, in two insert orders."""
+    import numpy as np
+
+    from rensa_spark.config import RensaConfig
+    from rensa_spark.kernels.fxhash import band_hash_u64
+    from rensa_spark.kernels.prng import rminhash_permutations
+    from rensa_spark.kernels.rminhash import rminhash_matrix
+    from rensa_spark.kernels.shingle import shingle_hashes_batch
+    from rensa_spark.operators.dedup import dup_flags
+    from rensa_spark.sources.synthetic import generate_corpus
+
+    cfg = RensaConfig(num_perm=128, seed=42, threshold=0.8, num_bands=8)
+    pdf = generate_corpus(250, seed=21, with_images=False)
+    captions = list(pdf["caption"])
+    flat, offs = shingle_hashes_batch(captions, cfg.ngram_size)
+    a, b = rminhash_permutations(cfg.num_perm, cfg.seed)
+    sig = rminhash_matrix(flat, offs, a, b)
+    bands = np.stack(
+        [
+            band_hash_u64(sig[:, i * cfg.band_size : (i + 1) * cfg.band_size])
+            for i in range(cfg.num_bands)
+        ],
+        axis=1,
+    )
+
+    def sequential_scan(order, index_rows=()):
+        """The py.rs loop: hash_tables = per-band dict band_hash -> [keys]."""
+        tables = [dict() for _ in range(cfg.num_bands)]
+        for key, row_bands in index_rows:  # pre-existing index entries
+            for t, bh in zip(tables, row_bands):
+                t.setdefault(int(bh), []).append(key)
+        start_key = 10_000  # batch keys disjoint from index keys
+        flags = [False] * len(order)
+        for offset, row in enumerate(order):
+            key = start_key + offset
+            for t, bh in zip(tables, bands[row]):
+                keys = t.setdefault(int(bh), [])
+                if keys:
+                    flags[offset] = True
+                    first_key = keys[0]
+                    if len(keys) == 1 and first_key >= start_key:
+                        other = first_key - start_key
+                        if other < offset:
+                            flags[other] = True
+                keys.append(key)
+        return {order[i]: flags[i] for i in range(len(order))}
+
+    # empty index, two different insert orders -> both equal dup_flags
+    df = spark.createDataFrame(pdf[["image_id", "caption"]])
+    engine = {
+        r["key"]: r["is_dup"]
+        for r in dup_flags(df, cfg, "image_id", "caption").collect()
+    }
+    ids = list(pdf["image_id"])
+    n = len(ids)
+    fwd = sequential_scan(list(range(n)))
+    rng = np.random.default_rng(5)
+    perm = list(rng.permutation(n))
+    shuffled = sequential_scan(perm)
+    for i in range(n):
+        assert fwd[i] == shuffled[i] == engine[ids[i]], ids[i]
+
+    # non-empty index: first 50 rows pre-inserted, the rest are the batch
+    from rensa_spark.operators.lsh_index import LshIndex
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = LshIndex(spark, cfg, d)
+        idx.insert(
+            spark.createDataFrame(
+                pdf.iloc[:50][["image_id", "caption"]]
+            ).selectExpr("image_id AS key", "caption AS text")
+        )
+        batch = pdf.iloc[50:]
+        got = {
+            r["key"]: r["is_dup"]
+            for r in idx.one_shot_flags(
+                spark.createDataFrame(batch[["image_id", "caption"]]),
+                "image_id",
+                "caption",
+            ).collect()
+        }
+        index_rows = [(k, bands[k]) for k in range(50)]
+        seq = sequential_scan(list(range(50, n)), index_rows)
+        for i in range(50, n):
+            assert seq[i] == got[ids[i]], ids[i]
