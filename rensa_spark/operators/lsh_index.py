@@ -331,7 +331,12 @@ class LshIndex:
             self.cfg,
             "key",
             "text",
-        ).persist()
+            # lazy localCheckpoint, not persist(): two consumers (intra +
+            # vs_index) share one materialization and the blocks are
+            # ContextCleaner-reclaimed when the result drops out of scope —
+            # persist() here pinned executor memory until an explicit
+            # unpersist nobody called (round-2 advice, missed at this site)
+        ).localCheckpoint(eager=False)
         intra = one_shot_flags_from_bands(qbands)
         vs_index = (
             qbands.join(self.bands().select("band_idx", "band_hash").distinct(),

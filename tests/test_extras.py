@@ -1328,3 +1328,30 @@ def test_lsh_index_appends_do_not_rewrite(spark, tmp_path):
         (r["key"], r["band_idx"], r["band_hash"]) for r in idx.bands().collect()
     )
     assert live_before == live_after
+
+
+def test_lsh_index_legacy_layout_migration(spark, tmp_path):
+    """A round-3 state dir (bands/sigs rows WITHOUT the gen column) must
+    keep serving reads unchanged and migrate once on the first mutation —
+    after which tombstone semantics apply normally."""
+    from rensa_spark.operators.lsh_index import LshIndex
+
+    d = str(tmp_path / "legacy")
+    # fabricate the legacy layout directly
+    spark.createDataFrame(
+        [("a", 0, 11), ("a", 1, 12), ("b", 0, 11), ("b", 1, 99)],
+        "key string, band_idx int, band_hash long",
+    ).write.parquet(d + "/bands")
+    spark.createDataFrame(
+        [("a", [1] * 8), ("b", [2] * 8)], "key string, sig array<int>"
+    ).write.parquet(d + "/sigs")
+
+    idx = LshIndex(spark, CFG, d, compact_every=0)
+    assert idx.len() == 2  # read path tolerates the gen-less layout
+    # first mutation migrates, then tombstones apply
+    idx.remove(spark.createDataFrame(pd.DataFrame({"key": ["a"]})))
+    assert idx.len() == 1
+    live = {r["key"] for r in idx.bands().collect()}
+    assert live == {"b"}
+    sigs = {r["key"] for r in idx.sigs().collect()}
+    assert sigs == {"b"}
