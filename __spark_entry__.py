@@ -611,6 +611,31 @@ def _q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (inverted-file coarse quantizer +
+    probe-2 exact re-rank), every embedding a query — the classic ANN scale
+    path alongside the hyperplane lanes. Fully integer end-to-end
+    (quantize -> integer Lloyd's k-means -> squared-L2 ranking), so the
+    DuckDB oracle unrolls the identical iterations and the rows hash-match
+    exactly."""
+    from rensa_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return (
+        ivf_topk(
+            emb, "vec_id", "embedding",
+            k=3, n_centroids=16, n_iters=5, n_probe=2, dim=64,
+        )
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("l2sq").cast("long").alias("l2sq"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem. Money sums ride as
     exact cents (round(x*100) -> long) so Spark and DuckDB agree bit-for-bit
@@ -823,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "repetition_quality": _q_repetition_quality,
         "decontamination": _q_decontamination,
+        "ivf_topk": _q_ivf_topk,
         "simhash_dup_flags": _q_simhash_dup_flags,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "add_if_unique": _q_add_if_unique,
@@ -1082,6 +1108,8 @@ filtered AS (
         "minhash_clusters": D.minhash_clusters_sql(CFG),
         "add_if_unique": D.add_if_unique_sql(CFG),
         "multimodal_clusters": D.multimodal_clusters_sql(CFG),
+        "ivf_topk": D.ivf_topk_sql(k=3, n_centroids=16, n_iters=5,
+                                   n_probe=2, dim=64),
         "rho_dup_flags": D.rho_dup_flags_sql(CFG),
         # round-3: the hyperplane lanes quantize planes AND vectors to int64
         # fixed-point (floor(x * 2^20)), so every bucket sign decision and

@@ -826,3 +826,142 @@ def simhash_dup_flags(
             F.col(key_col).alias("key"), F.lit(n_chunks).alias("n_bands")
         ),
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def ivf_train_centroids(
+    side: DataFrame, n_centroids: int, n_iters: int, dim: int
+) -> np.ndarray:
+    """Deterministic INTEGER Lloyd's k-means over quantized vectors
+    (the IVF coarse quantizer). Everything is exact int64 math, so the
+    result is a pure function of the data — independent of partitioning,
+    summation order, and engine (the DuckDB oracle unrolls the identical
+    iterations):
+
+    - init: the vq of the ``n_centroids`` smallest ids;
+    - assign: argmin of exact squared L2 distance, ties to the smaller
+      centroid id;
+    - update: element-wise FLOOR(sum/count) (integer sums are associative,
+      so the per-dimension aggregation is order-insensitive); empty
+      centroids keep their previous position.
+
+    The per-iteration reduce ships n_centroids x dim longs to the driver
+    (tiny — the same shape MLlib's k-means uses); the data never leaves
+    executors unaggregated. ``side`` must be (vid, vq non-null).
+    """
+    cent = np.stack(
+        [
+            np.asarray(r["vq"], dtype=np.int64)
+            for r in side.orderBy("vid").limit(n_centroids).collect()
+        ]
+    )
+    if cent.shape[0] < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} non-null vectors to train IVF centroids"
+        )
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    for _ in range(n_iters):
+        c_snapshot = cent.copy()
+
+        @pandas_udf(IntegerType())
+        def assign(vqs: pd.Series) -> pd.Series:
+            m = np.stack([np.asarray(v, dtype=np.int64) for v in vqs])
+            # exact: (x-c)^2 summed; |x-c| < 2^22, dim<=2^9 -> < 2^53
+            d = ((m[:, None, :] - c_snapshot[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+        sums = (
+            side.withColumn("c", assign("vq"))
+            .select("c", F.posexplode("vq").alias("pos", "v"))
+            .groupBy("c", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cent.copy()  # empty centroids keep their position
+        by_c: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_c.setdefault(r["c"], {})[r["pos"]] = (r["s"], r["n"])
+        for c, dims in by_c.items():
+            for pos, (s, n) in dims.items():
+                new[c, pos] = s // n  # Python floor division == SQL floor()
+        cent = new
+    return cent
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    n_probe: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors, every row a
+    query: train the integer coarse quantizer, bucket the corpus by
+    nearest centroid, probe each query's ``n_probe`` nearest centroids and
+    exact-rank the probed buckets by squared L2 on the quantized vectors
+    -> (qid, neighbor_id, rank, l2sq).
+
+    The scale path for many-query ANN when hyperplane buckets are too
+    coarse: ONE equi-join on the centroid id (corpus shuffles once, each
+    side bounded by bucket membership ~n/n_centroids), top-k via a per-qid
+    window. Fully integer end-to-end (quantize -> centroids -> distances),
+    deterministic ties (l2sq, then neighbor id), so the DuckDB oracle
+    reproduces the exact rows (duck_sql.ivf_topk_sql unrolls the same
+    Lloyd iterations)."""
+    if dim is None:
+        dim = len(
+            np.asarray(df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0])
+        )
+
+    def _qvec(c):
+        return F.transform(
+            c, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
+        )
+
+    side = df.select(
+        F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("vq")
+    ).filter(F.col("vq").isNotNull())
+    cent = ivf_train_centroids(side, n_centroids, n_iters, dim)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probes(vqs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.int64) for v in vqs])
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # argsort with centroid-id tiebreak: stable sort on ids then dist
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    assigned = side.withColumn("probe", probes("vq")).localCheckpoint(eager=False)
+    corpus = assigned.select(
+        F.col("vid").alias("nid"),
+        F.col("vq").alias("nvq"),
+        F.col("probe").getItem(0).alias("c"),  # home bucket = nearest centroid
+    )
+    queries = assigned.select(
+        F.col("vid").alias("qid"),
+        F.col("vq").alias("qvq"),
+        F.explode("probe").alias("c"),
+    )
+    l2sq = F.aggregate(
+        F.zip_with("qvq", "nvq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("l2sq"), F.col("nid"))
+    return (
+        queries.join(corpus, "c")
+        .withColumn("l2sq", l2sq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), "rank", "l2sq")
+    )

@@ -923,3 +923,78 @@ scored AS (
     JOIN vn nn ON nn.vec_id = bz.vec_id)
 SELECT a, b, round(score, 6) AS cosine
 FROM scored WHERE score >= {min_cosine} ORDER BY a, b"""
+
+
+def ivf_topk_sql(
+    k: int = 3,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> str:
+    """Oracle for _q_ivf_topk: the INTEGER Lloyd's k-means coarse quantizer
+    unrolled iteration by iteration (operators/similarity.ivf_train_centroids
+    is a pure function of the data: exact int64 distances, argmin ties to
+    the smaller centroid id, floor(sum/count) updates — integer sums are
+    associative so no float-order ambiguity exists on either engine), then
+    probe-2 bucket candidates ranked by exact squared L2. floor(sum::DOUBLE
+    / count) is exact here (|sum| < 2^30 and quotients sit >= 1/count away
+    from integers unless exact), matching Python's // floor division —
+    DuckDB's ``//`` operator truncates toward zero and must NOT be used."""
+    from rensa_spark.operators.similarity import QUANT_SCALE
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+        )
+
+    iters = []
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        iters.append(f"""
+a{it} AS MATERIALIZED (
+    SELECT vid, vq, c FROM (
+        SELECT e.vid, e.vq, c.c,
+               row_number() OVER (PARTITION BY e.vid
+                                  ORDER BY {dist('e.vq', 'c.cv')}, c.c) AS rn
+        FROM emb e CROSS JOIN {prev} c) WHERE rn = 1),
+s{it} AS (
+    SELECT c, pos, CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS nv
+    FROM (SELECT c, unnest(vq) AS v,
+                 unnest(generate_series(1, len(vq))) AS pos
+          FROM a{it})
+    GROUP BY c, pos),
+u{it} AS (SELECT c, list(nv ORDER BY pos) AS cv FROM s{it} GROUP BY c),
+c{it} AS MATERIALIZED (
+    SELECT p.c, COALESCE(u.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN u{it} u USING (c))""")
+        prev = f"c{it}"
+
+    return f"""
+WITH emb AS MATERIALIZED (
+    SELECT vec_id AS vid,
+           list_transform(embedding,
+                          x -> floor(x::DOUBLE * {QUANT_SCALE})::BIGINT) AS vq
+    FROM embeddings WHERE embedding IS NOT NULL),
+c0 AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vid) - 1 AS c, vq AS cv
+    FROM (SELECT vid, vq FROM emb ORDER BY vid LIMIT {n_centroids})),
+{",".join(iters)},
+probe AS MATERIALIZED (
+    SELECT vid, vq, c, rn FROM (
+        SELECT e.vid, e.vq, c.c,
+               row_number() OVER (PARTITION BY e.vid
+                                  ORDER BY {dist('e.vq', 'c.cv')}, c.c) AS rn
+        FROM emb e CROSS JOIN {prev} c) WHERE rn <= {n_probe}),
+home AS MATERIALIZED (
+    SELECT vid AS nid, vq AS nvq, c FROM probe WHERE rn = 1),
+cand AS (
+    SELECT q.vid AS qid, h.nid, {dist('q.vq', 'h.nvq')} AS l2sq
+    FROM (SELECT DISTINCT vid, vq, c FROM probe) q JOIN home h USING (c))
+SELECT qid, nid AS neighbor_id, rank, l2sq FROM (
+    SELECT qid, nid, l2sq,
+           row_number() OVER (PARTITION BY qid ORDER BY l2sq, nid) AS rank
+    FROM cand)
+WHERE rank <= {k}
+ORDER BY qid, rank"""

@@ -1355,3 +1355,46 @@ def test_lsh_index_legacy_layout_migration(spark, tmp_path):
     assert live == {"b"}
     sigs = {r["key"] for r in idx.sigs().collect()}
     assert sigs == {"b"}
+
+
+def test_ivf_topk_properties(spark, emb_df):
+    """IVF ANN (integer coarse quantizer): every query finds itself at rank
+    1 with distance 0 (its home bucket is always probed first), results are
+    identical across partitionings (the quantizer is a pure function of the
+    data — integer sums are order-insensitive), and recall vs the exact
+    quantized-L2 top-3 clears a floor on the uniform-random corpus (the
+    adversarial case for IVF: no cluster structure to exploit)."""
+    from rensa_spark.operators.similarity import ivf_topk, quantize_vecs
+
+    out1 = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            emb_df.repartition(1), "vec_id", "embedding", k=3, dim=64
+        ).collect()
+    )
+    out16 = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            emb_df.repartition(16), "vec_id", "embedding", k=3, dim=64
+        ).collect()
+    )
+    assert out1 == out16
+
+    by_q = {}
+    for qid, nid, rank, l2sq in out1:
+        by_q.setdefault(qid, []).append((rank, nid, l2sq))
+    pdf = emb_df.toPandas()
+    ids = list(pdf["vec_id"])
+    mq = quantize_vecs(
+        np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    )
+    hits = total = 0
+    for qi, qid in enumerate(ids):
+        got = sorted(by_q[qid])
+        assert got[0][1] == qid and got[0][2] == 0  # self at rank 1, d=0
+        d = ((mq - mq[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((np.array(ids), d))[:3]
+        exact = {ids[j] for j in order}
+        total += 3
+        hits += len(exact & {nid for _, nid, _ in got})
+    assert hits / total >= 0.3, hits / total

@@ -90,7 +90,19 @@ def main() -> None:
     if len(sys.argv) > 2:
         BASE_CORES = int(sys.argv[2])
     path = corpus_path(N_ROWS)
+    # the no-Spark hardware control runs INTERLEAVED with each Spark phase
+    # (round-4: a sequential control an hour later certifies nothing on this
+    # host — per-core speed swings 2x between windows; see BENCH/BASELINE.md
+    # window 4, where the control itself collapsed to 0.39)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import mp_control  # spawn workers re-import by module name
+
+    import pandas as pd
+
+    captions = list(pd.read_parquet(path)["caption"])
+
     results = {}
+    control = {}
     for cores in [BASE_CORES, BASE_CORES * 4]:
         time.sleep(5)  # cool-down between children
         out = subprocess.run(
@@ -101,6 +113,7 @@ def main() -> None:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")][-1]
         results[cores] = json.loads(line[len("CHILD_RESULT ") :])
+        control[cores] = mp_control.run(cores, captions)
 
     n, n4 = BASE_CORES, BASE_CORES * 4
     tput = {c: results[c]["rows"] / results[c]["dedup_sec"] for c in results}
@@ -115,6 +128,13 @@ def main() -> None:
         "sketch_rows_per_sec": {str(c): round(sk_tput[c], 1) for c in sk_tput},
         "dedup_scaling_efficiency": round(eff, 3),
         "sketch_scaling_efficiency": round(sk_eff, 3),
+        "control_rows_per_sec": {str(c): round(control[c], 1) for c in control},
+        "control_efficiency": round(control[n4] / (4 * control[n]), 3),
+        # a window only counts when the hardware itself scaled: per-core
+        # control throughput at 4N within [0.8, 1.25] of linear
+        "window_certified": bool(
+            0.8 <= control[n4] / (4 * control[n]) <= 1.25
+        ),
     }
     print(json.dumps(summary))
 
