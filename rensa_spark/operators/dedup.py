@@ -62,12 +62,17 @@ def dup_flags(df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str) -> D
 
 
 def verified_pairs(
-    sketched: DataFrame, cfg: RensaConfig, key_col: str = "key"
+    sketched: DataFrame,
+    cfg: RensaConfig,
+    key_col: str = "key",
+    capped_metrics="rensa_capped_buckets",
 ) -> DataFrame:
     """Candidate pairs from band co-membership, verified by signature-slot
     jaccard >= threshold (README.md:100-122 recipe). Input needs `sig` and
     `bands` columns. Signatures are re-joined to pairs rather than carried
-    through the band explode (keeps the wide column out of the band shuffle)."""
+    through the band explode (keeps the wide column out of the band shuffle).
+    ``capped_metrics`` forwards to candidate_pairs (CollectMetrics signal;
+    pass an Observation to read bucket stats after the first action)."""
     pairs = candidate_pairs(
         sketched.select(F.col(key_col).alias("key"), "bands"),
         "key",
@@ -78,6 +83,7 @@ def verified_pairs(
             F.col(key_col).alias("key"), F.col("sig").alias("sort_key")
         ),
         verify_threshold=cfg.threshold,
+        capped_metrics=capped_metrics,
     )
     sigs = sketched.select(F.col(key_col).alias("key"), "sig")
     return _verify_pairs(pairs, sigs, cfg)
@@ -110,7 +116,11 @@ def _verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: RensaConfig) -> DataFr
     )
 
 
-def dedup_edges(sketched: DataFrame, cfg: RensaConfig) -> DataFrame:
+def dedup_edges(
+    sketched: DataFrame,
+    cfg: RensaConfig,
+    capped_metrics="rensa_capped_buckets",
+) -> DataFrame:
     """Duplicate-graph edges (a, b) for clustering: identical-signature
     collapse + verified pairs among representatives.
 
@@ -127,7 +137,9 @@ def dedup_edges(sketched: DataFrame, cfg: RensaConfig) -> DataFrame:
         F.col("rep").alias("a"), F.col("key").alias("b")
     )
     rep_rows = with_rep.filter(F.col("key") == F.col("rep")).select("key", "sig", "bands")
-    rep_pairs = verified_pairs(rep_rows, cfg).select("a", "b")
+    rep_pairs = verified_pairs(
+        rep_rows, cfg, capped_metrics=capped_metrics
+    ).select("a", "b")
     return trivial.unionByName(rep_pairs)
 
 

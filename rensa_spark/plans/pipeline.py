@@ -68,11 +68,19 @@ class Manifest:
         info = self.data.get("stages", {}).get(stage)
         return bool(info) and info.get("config_hash") == config_hash
 
-    def mark_done(self, stage: str, config_hash: str, rows: int, wall_ms: int) -> None:
+    def mark_done(
+        self,
+        stage: str,
+        config_hash: str,
+        rows: int,
+        wall_ms: int,
+        metrics: dict | None = None,
+    ) -> None:
         self.data.setdefault("stages", {})[stage] = {
             "config_hash": config_hash,
             "rows": rows,
             "wall_ms": wall_ms,
+            **({"metrics": metrics} if metrics else {}),
         }
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         tmp = self.path + ".tmp"
@@ -119,7 +127,12 @@ class DedupPipeline:
         )
         return per_part.agg(F.sum("rows_out")).collect()[0][0] or 0
 
-    def _run_stage(self, stage: str, build) -> DataFrame:
+    def _run_stage(self, stage: str, build, metrics_fn=None) -> DataFrame:
+        """``metrics_fn``: called AFTER the stage's write action completes,
+        returns a small dict recorded into the manifest alongside the
+        lineage row counts (e.g. the candidate-bucket CollectMetrics — the
+        north rule's per-stage metrics, so production runs can see from the
+        manifest alone whether a run entered the >cap heuristic regime)."""
         if self.manifest.stage_done(stage, self.config_hash) and self.store.exists(stage):
             self.stage_log.append({"stage": stage, "skipped": True})
             return self.store.read(self.spark, stage)
@@ -127,10 +140,21 @@ class DedupPipeline:
         out = build()
         self.store.write(out, stage)
         wall_ms = int((time.perf_counter() - t0) * 1000)
+        metrics = metrics_fn() if metrics_fn is not None else None
         persisted = self.store.read(self.spark, stage)
         rows = self._record_lineage(persisted, stage, wall_ms)
-        self.manifest.mark_done(stage, self.config_hash, int(rows), wall_ms)
-        self.stage_log.append({"stage": stage, "skipped": False, "rows": int(rows), "wall_ms": wall_ms})
+        self.manifest.mark_done(
+            stage, self.config_hash, int(rows), wall_ms, metrics=metrics
+        )
+        self.stage_log.append(
+            {
+                "stage": stage,
+                "skipped": False,
+                "rows": int(rows),
+                "wall_ms": wall_ms,
+                **({"metrics": metrics} if metrics else {}),
+            }
+        )
         return persisted
 
     # ---- stages ----
@@ -153,6 +177,11 @@ class DedupPipeline:
             "bands", lambda: rminhash_band_rows(src, self.cfg, "key", "text")
         )
         self._run_stage("flags", lambda: one_shot_flags_from_bands(bands))
+
+        from pyspark.sql import Observation
+
+        obs = Observation("pipeline_pairs_buckets")
+
         def _build_pairs():
             sketched = sigs.join(
                 bands.groupBy("key").agg(
@@ -164,9 +193,13 @@ class DedupPipeline:
                 ),
                 "key",
             )
-            return dedup_edges(sketched, self.cfg)
+            return dedup_edges(sketched, self.cfg, capped_metrics=obs)
 
-        pairs = self._run_stage("pairs", _build_pairs)
+        def _pairs_metrics() -> dict:
+            m = dict(obs.get)
+            return {k: int(v) if v is not None else 0 for k, v in m.items()}
+
+        pairs = self._run_stage("pairs", _build_pairs, metrics_fn=_pairs_metrics)
         clusters = self._run_stage("clusters", lambda: connected_components(pairs))
         return self._run_stage(
             "survivors", lambda: survivors(clusters, sigs.select("key"))

@@ -94,3 +94,19 @@ def test_lineage_records_per_partition_metrics(spark, corpus_df, tmp_path):
     }
     for stage, info in manifest["stages"].items():
         assert per_stage[stage] == info["rows"]
+
+
+def test_pairs_stage_records_bucket_metrics(spark, corpus_df, tmp_path):
+    """North-rule per-stage metrics: the pairs stage's manifest entry
+    carries the candidate-bucket CollectMetrics (capped / heuristic bucket
+    counts + max bucket size), so a production run can tell FROM THE
+    MANIFEST whether results entered the >cap heuristic regime."""
+    base = str(tmp_path / "ckpt_m")
+    _run(spark, corpus_df, base, "run-m")
+    with open(os.path.join(base, "manifest.json")) as f:
+        manifest = json.load(f)
+    m = manifest["stages"]["pairs"].get("metrics")
+    assert m is not None
+    assert {"capped_buckets", "heuristic_buckets", "max_bucket_size"} <= set(m)
+    assert m["heuristic_buckets"] == 0  # tiny corpus never exceeds the cap
+    assert m["max_bucket_size"] >= 1
