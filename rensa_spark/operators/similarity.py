@@ -832,7 +832,11 @@ def simhash_dup_flags(
 
 
 def ivf_train_centroids(
-    side: DataFrame, n_centroids: int, n_iters: int, dim: int
+    side: DataFrame,
+    n_centroids: int,
+    n_iters: int,
+    dim: int,
+    train_sample: int = 4096,
 ) -> np.ndarray:
     """Deterministic INTEGER Lloyd's k-means over quantized vectors
     (the IVF coarse quantizer). Everything is exact int64 math, so the
@@ -840,54 +844,38 @@ def ivf_train_centroids(
     summation order, and engine (the DuckDB oracle unrolls the identical
     iterations):
 
+    - trained on the ``train_sample`` smallest-id vectors, collected ONCE
+      to the driver — the FAISS-standard shape: a handful of coarse
+      centroids never justifies iterating the full corpus; at 10^12 rows
+      the k-means loop over a bounded sample is O(1) driver work while the
+      full-corpus assignment stays distributed. When the corpus is smaller
+      than the sample (every test SF) the "sample" is exact, so results
+      are identical to full-data training;
     - init: the vq of the ``n_centroids`` smallest ids;
     - assign: argmin of exact squared L2 distance, ties to the smaller
       centroid id;
-    - update: element-wise FLOOR(sum/count) (integer sums are associative,
-      so the per-dimension aggregation is order-insensitive); empty
-      centroids keep their previous position.
+    - update: element-wise floor(sum/count) via np.floor_divide (integer
+      sums are associative — no float-order ambiguity); empty centroids
+      keep their previous position.
 
-    The per-iteration reduce ships n_centroids x dim longs to the driver
-    (tiny — the same shape MLlib's k-means uses); the data never leaves
-    executors unaggregated. ``side`` must be (vid, vq non-null).
+    ``side`` must be (vid, vq non-null).
     """
-    cent = np.stack(
-        [
-            np.asarray(r["vq"], dtype=np.int64)
-            for r in side.orderBy("vid").limit(n_centroids).collect()
-        ]
-    )
-    if cent.shape[0] < n_centroids:
+    rows = side.orderBy("vid").limit(train_sample).collect()
+    if len(rows) < n_centroids:
         raise ValueError(
             f"need >= {n_centroids} non-null vectors to train IVF centroids"
         )
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import IntegerType
-
+    x = np.stack([np.asarray(r["vq"], dtype=np.int64) for r in rows])
+    cent = x[:n_centroids].copy()
     for _ in range(n_iters):
-        c_snapshot = cent.copy()
-
-        @pandas_udf(IntegerType())
-        def assign(vqs: pd.Series) -> pd.Series:
-            m = np.stack([np.asarray(v, dtype=np.int64) for v in vqs])
-            # exact: (x-c)^2 summed; |x-c| < 2^22, dim<=2^9 -> < 2^53
-            d = ((m[:, None, :] - c_snapshot[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(np.argmin(d, axis=1).astype(np.int32))
-
-        sums = (
-            side.withColumn("c", assign("vq"))
-            .select("c", F.posexplode("vq").alias("pos", "v"))
-            .groupBy("c", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        # exact: (x-c)^2 summed; |x-c| < 2^22, dim <= 2^9 -> < 2^53
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)  # ties -> smaller centroid id
         new = cent.copy()  # empty centroids keep their position
-        by_c: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_c.setdefault(r["c"], {})[r["pos"]] = (r["s"], r["n"])
-        for c, dims in by_c.items():
-            for pos, (s, n) in dims.items():
-                new[c, pos] = s // n  # Python floor division == SQL floor()
+        for c in range(n_centroids):
+            members = x[a == c]
+            if len(members):
+                new[c] = np.floor_divide(members.sum(axis=0), len(members))
         cent = new
     return cent
 
@@ -901,6 +889,7 @@ def ivf_topk(
     n_iters: int = 5,
     n_probe: int = 2,
     dim: int | None = None,
+    train_sample: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors, every row a
     query: train the integer coarse quantizer, bucket the corpus by
@@ -925,10 +914,15 @@ def ivf_topk(
             c, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
         )
 
-    side = df.select(
-        F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("vq")
-    ).filter(F.col("vq").isNotNull())
-    cent = ivf_train_centroids(side, n_centroids, n_iters, dim)
+    # ONE materialization feeds the 5 training actions + init + serving
+    # (lazy localCheckpoint: blocks reclaimed when the result goes out of
+    # scope; without it each Lloyd iteration re-quantizes the whole corpus)
+    side = (
+        df.select(F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("vq"))
+        .filter(F.col("vq").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    cent = ivf_train_centroids(side, n_centroids, n_iters, dim, train_sample)
 
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType

@@ -931,6 +931,7 @@ def ivf_topk_sql(
     n_iters: int = 5,
     n_probe: int = 2,
     dim: int = 64,
+    train_sample: int = 4096,
 ) -> str:
     """Oracle for _q_ivf_topk: the INTEGER Lloyd's k-means coarse quantizer
     unrolled iteration by iteration (operators/similarity.ivf_train_centroids
@@ -958,7 +959,7 @@ a{it} AS MATERIALIZED (
         SELECT e.vid, e.vq, c.c,
                row_number() OVER (PARTITION BY e.vid
                                   ORDER BY {dist('e.vq', 'c.cv')}, c.c) AS rn
-        FROM emb e CROSS JOIN {prev} c) WHERE rn = 1),
+        FROM tr e CROSS JOIN {prev} c) WHERE rn = 1),
 s{it} AS (
     SELECT c, pos, CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS nv
     FROM (SELECT c, unnest(vq) AS v,
@@ -977,9 +978,11 @@ WITH emb AS MATERIALIZED (
            list_transform(embedding,
                           x -> floor(x::DOUBLE * {QUANT_SCALE})::BIGINT) AS vq
     FROM embeddings WHERE embedding IS NOT NULL),
+tr AS MATERIALIZED (
+    SELECT vid, vq FROM emb ORDER BY vid LIMIT {train_sample}),
 c0 AS MATERIALIZED (
     SELECT row_number() OVER (ORDER BY vid) - 1 AS c, vq AS cv
-    FROM (SELECT vid, vq FROM emb ORDER BY vid LIMIT {n_centroids})),
+    FROM (SELECT vid, vq FROM tr ORDER BY vid LIMIT {n_centroids})),
 {",".join(iters)},
 probe AS MATERIALIZED (
     SELECT vid, vq, c, rn FROM (
