@@ -3,10 +3,12 @@
 dedup throughput (signatures/sec + end-to-end one-shot flags rows/sec — the
 reference's benchmark metric, /root/reference/benchmarks/full_benchmark.py).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "lanes": {name: {"sec", "trials", "load_before", "load_after", "err"}},
  "sf": ..., "sigs_per_sec": ..., "dedup_rows_per_sec": ...}
+Per-lane detail {name: {"sec", "trials", "load_before", "load_after",
+"err"}} is written to BENCH/lanes_detail.json (keeping it off stdout keeps
+the line inside the driver's tail-capture window — round-4 verdict ask #3).
 
 Trust protocol (round-3 verdict ask #4): EVERY lane is best-of-N (default
 2 — this host's run-to-run CPU variance poisons single shots; the same lane
@@ -265,25 +267,32 @@ def main() -> None:
     dedup_sec = timings.get("synthetic_oneshot_dedup_200k")
     sparse_sec = timings.get("synthetic_rho_sparse_200k")
     errors = sorted(n for n, r in runner.lanes.items() if r["err"])
-    print(
-        json.dumps(
-            {
-                "metric": "rensa_spark dedup suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "lanes": runner.lanes,
-                "errors": errors,
-                "sf": SF_DIR,
-                "synthetic_rows": n_rows,
-                "sigs_per_sec": round(n_rows / sketch_sec, 1) if sketch_sec else None,
-                "dedup_rows_per_sec": round(n_rows / dedup_sec, 1) if dedup_sec else None,
-                "sparse_rho_rows_per_sec": round(n_rows / sparse_sec, 1) if sparse_sec else None,
-                "cpus": CPUS,
-                "trials_per_lane": TRIALS,
-            }
-        )
-    )
+    headline = {
+        "metric": "rensa_spark dedup suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": SF_DIR,
+        "synthetic_rows": n_rows,
+        "sigs_per_sec": round(n_rows / sketch_sec, 1) if sketch_sec else None,
+        "dedup_rows_per_sec": round(n_rows / dedup_sec, 1) if dedup_sec else None,
+        "sparse_rho_rows_per_sec": round(n_rows / sparse_sec, 1) if sparse_sec else None,
+        "cpus": CPUS,
+        "trials_per_lane": TRIALS,
+        "lane_detail": "BENCH/lanes_detail.json",
+    }
+    # Per-lane detail (best-of-N, loadavg before/after, error text) goes to
+    # a sidecar file, NOT the stdout line: round 4's driver artifact failed
+    # to parse because duplicating the 43-lane detail map inline pushed the
+    # single JSON line past the driver's tail-capture window, truncating the
+    # headline fields (round-4 verdict ask #3). stdout stays one COMPACT
+    # parseable line; the full record lands next to the scaling runs.
+    detail_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(detail_dir, exist_ok=True)
+    with open(os.path.join(detail_dir, "lanes_detail.json"), "w") as f:
+        json.dump({**headline, "lanes": runner.lanes}, f, indent=1)
+    print(json.dumps(headline))
     if errors:
         raise SystemExit(1)
 

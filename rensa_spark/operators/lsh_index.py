@@ -123,8 +123,13 @@ class LshIndex:
         g = self._cur_gen()
         for name in ("bands", "sigs"):
             if os.path.exists(os.path.join(self._path(name), "_SUCCESS")):
+                # dropDuplicates also heals the benign duplicate rows a
+                # crashed insert can leave (data appends land before the
+                # tombstone; see insert()).
                 self._rewrite(
-                    self._live(name).withColumn("gen", F.lit(g).cast("long")),
+                    self._live(name)
+                    .dropDuplicates()
+                    .withColumn("gen", F.lit(g).cast("long")),
                     name,
                 )
         shutil.rmtree(self._path("tombs"), ignore_errors=True)
@@ -195,15 +200,24 @@ class LshIndex:
         g = self._next_gen()
         gen = F.lit(g).cast("long")
         if existed:
-            base.select("key").distinct().withColumn("gen", gen).write.mode(
-                "append"
-            ).parquet(self._path("tombs"))
+            # Append ORDER is the crash-safety contract (round-4 advice):
+            # data rows FIRST, tombstone LAST. Rows at gen G are live with
+            # or without the same-gen tombstone (_live keeps gen >= tgen),
+            # so every intermediate crash state merely duplicates the
+            # re-inserted keys (set-valued readers absorb that) — the old
+            # ordering (tombstone first) silently DELETED every existing
+            # row of those keys if the job died before the data appends.
+            # A retried insert self-heals duplicates: it takes gen G+1 and
+            # its tombstone kills all gen < G+1 rows, orphans included.
             new_bands.withColumn("gen", gen).write.mode("append").parquet(
                 self._path("bands")
             )
             new_sigs.withColumn("gen", gen).write.mode("append").parquet(
                 self._path("sigs")
             )
+            base.select("key").distinct().withColumn("gen", gen).write.mode(
+                "append"
+            ).parquet(self._path("tombs"))
             self._maybe_compact()
         else:
             new_bands.withColumn("gen", gen).write.mode("overwrite").parquet(

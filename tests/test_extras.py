@@ -1330,6 +1330,52 @@ def test_lsh_index_appends_do_not_rewrite(spark, tmp_path):
     assert live_before == live_after
 
 
+def test_lsh_index_insert_crash_window_never_deletes(spark, tmp_path):
+    """Round-4 advice (medium): insert appends DATA rows first and the
+    tombstone LAST — a job that dies mid-insert must leave every existing
+    row of the re-inserted keys live (briefly duplicated is acceptable;
+    silently deleted is not), and a retried insert must converge."""
+    from rensa_spark.operators.lsh_index import LshIndex
+
+    idx = LshIndex(spark, CFG, str(tmp_path / "lsh_crash"), compact_every=0)
+
+    def mkdf(keys, texts):
+        return spark.createDataFrame(pd.DataFrame({"key": keys, "text": texts}))
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "completely different caption words for the second image row"
+    idx.insert(mkdf(["a", "b"], [t_a, t_b]))
+
+    # re-insert "a", crashing right before the tombstone append
+    orig_path = idx._path
+
+    def exploding_path(name):
+        if name == "tombs":
+            raise RuntimeError("simulated crash before tombstone append")
+        return orig_path(name)
+
+    idx._path = exploding_path
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        idx.insert(mkdf(["a"], [t_a]))
+    idx._path = orig_path
+
+    # nothing was deleted: both keys still live (a is duplicated, not gone)
+    assert {r["key"] for r in idx.bands().collect()} == {"a", "b"}
+    assert idx.sigs().filter(F.col("key") == "b").count() == 1
+    assert idx.sigs().filter(F.col("key") == "a").count() >= 1
+
+    # the retried insert takes the next generation; its tombstone kills the
+    # orphaned duplicates and the index converges to one live row per key
+    idx.insert(mkdf(["a"], [t_a]))
+    assert idx.len() == 2
+    assert idx.sigs().filter(F.col("key") == "a").count() == 1
+    idx.compact()
+    assert idx.len() == 2
+    assert idx.sigs().count() == 2
+
+
 def test_lsh_index_legacy_layout_migration(spark, tmp_path):
     """A round-3 state dir (bands/sigs rows WITHOUT the gen column) must
     keep serving reads unchanged and migrate once on the first mutation —
