@@ -108,19 +108,30 @@ def _q_cminhash_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cminhash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded LSH one-shot flags over the C-MinHash digest (the LSH index
     accepts any digest matrix, src/lsh/py.rs:94-108) — same skew-proof
-    singleton-count flag aggregation as the flagship."""
+    singleton-count flag aggregation as the flagship.
+
+    The projection also carries min(band_hash) per doc (round-4 verdict ask
+    #4): on the driver corpus the R- and C-MinHash sketches flag the
+    identical row set, so the flags alone could not distinguish a regression
+    that silently emitted R-MinHash bands here — the min band hash is a
+    direct function of the C-MinHash digest values and pins the sketch."""
     from rensa_spark.operators.lsh import one_shot_flags_from_bands
     from rensa_spark.operators.sketch import cminhash_band_rows
 
     docs = _docs(spark, sf_dir)
+    bands = cminhash_band_rows(docs, CFG, "doc_id", "text").localCheckpoint(
+        eager=False
+    )  # two consumers (flags + min agg): sketch the corpus ONCE
+    flags = one_shot_flags_from_bands(
+        bands,
+        keys=docs.select(
+            F.col("doc_id").alias("key"), F.lit(CFG.num_bands).alias("n_bands")
+        ),
+    )
+    min_bh = bands.groupBy("key").agg(F.min("band_hash").alias("min_band_hash"))
     return (
-        one_shot_flags_from_bands(
-            cminhash_band_rows(docs, CFG, "doc_id", "text"),
-            keys=docs.select(
-                F.col("doc_id").alias("key"), F.lit(CFG.num_bands).alias("n_bands")
-            ),
-        )
-        .select(F.col("key").alias("doc_id"), F.col("is_dup"))
+        flags.join(min_bh, "key")
+        .select(F.col("key").alias("doc_id"), F.col("is_dup"), F.col("min_band_hash"))
         .orderBy("doc_id")
     )
 
@@ -373,10 +384,15 @@ def _q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
     5-gram with a held-out benchmark set (here: docs with doc_id % 10 == 0
-    stand in for the benchmark). The benchmark gram set is tiny relative to
-    the corpus, so it is BROADCAST — at 100 TB the corpus-side scan never
-    shuffles; each task filters its grams against the in-memory set.
-    -> (doc_id, n_overlap_grams, contaminated) for non-benchmark docs."""
+    stand in for the benchmark).
+    -> (doc_id, n_overlap_grams, contaminated) for non-benchmark docs.
+
+    The broadcast hint assumes a REAL benchmark set — O(1)-sized relative
+    to the corpus (a few benchmark suites, not a corpus slice), which is
+    what makes the corpus-side scan shuffle-free at 100 TB. This driver
+    lane's doc_id%10 stand-in grows WITH the corpus, so the hint only
+    holds at oracle SFs (round-4 advice); a production caller with an
+    unbounded "benchmark" must drop the hint and let AQE pick the join."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     grams = (

@@ -33,10 +33,16 @@ WindowGroupLimit; AQE skew-join splitting covers the remaining joins.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rensa_spark.config import RensaConfig
+
+# suffix source for per-call default CollectMetrics names (see
+# candidate_pairs_from_band_rows)
+_METRICS_SEQ = itertools.count()
 
 
 def explode_bands(df: DataFrame, key_col: str, bands_col: str = "bands") -> DataFrame:
@@ -387,12 +393,22 @@ def candidate_pairs_from_band_rows(
     CollectMetrics node over the bucket sizes emitting ``capped_buckets``
     (count over hot_bucket_cap), ``heuristic_buckets`` (count over
     exact_task_cap — the only regime with approximate semantics) and
-    ``max_bucket_size``. Pass a string name (default) to ship the metrics
-    to every QueryExecutionListener / the Spark UI event log, a
+    ``max_bucket_size``. Pass a string name to ship the metrics to every
+    QueryExecutionListener / the Spark UI event log, a
     ``pyspark.sql.Observation`` to read them programmatically after the
-    first action, or None to disable.
+    first action, or None to disable. The DEFAULT string is uniquified
+    per call (``rensa_capped_buckets_<n>``) so composing several pair
+    operators in one plan never collides on observed-metric names.
     """
     exact_mid = sort_keys is not None and verify_threshold is not None
+    if capped_metrics == "rensa_capped_buckets":
+        # Spark's analyzer rejects two CollectMetrics nodes with the SAME
+        # name in one plan (round-4 advice: unioning two pair operators
+        # both left at the default would fail to analyze) — the string
+        # default derives a fresh name per call. Pass an explicit string
+        # to pin a name for QueryExecutionListener consumers, an
+        # Observation to read values programmatically, or None to disable.
+        capped_metrics = f"rensa_capped_buckets_{next(_METRICS_SEQ)}"
     sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
@@ -441,7 +457,7 @@ def candidate_pairs_from_band_rows(
             keys = pdf["key"].values
             n, p = sig.shape
             need = int(np.ceil(thr * p - 1e-9))
-            a_out, b_out = [], []
+            a_parts, b_parts = [], []
             # slot-chunked pairwise equal counts: row-chunk x all-rows,
             # accumulated per signature slot — peak memory chunk*n bytes
             chunk = max(1, min(n, (1 << 22) // max(n, 1)))
@@ -452,13 +468,21 @@ def candidate_pairs_from_band_rows(
                     eq += sig[lo:hi, s, None] == sig[None, :, s]
                 ii, jj = np.nonzero(eq >= need)
                 keep = (lo + ii) < jj  # upper triangle by row index
-                for i, j in zip(ii[keep] + lo, jj[keep]):
-                    ka, kb = keys[i], keys[j]
-                    if kb < ka:
-                        ka, kb = kb, ka
-                    a_out.append(ka)
-                    b_out.append(kb)
-            return pd.DataFrame({"a": a_out, "b": b_out})
+                # vectorized pair assembly (round-4 advice: a dense
+                # near-dup bucket emits millions of pairs — no per-pair
+                # Python loop): fancy-index the keys, order each pair
+                # with an elementwise where-swap
+                ka = keys[ii[keep] + lo]
+                kb = keys[jj[keep]]
+                sw = kb < ka
+                a_parts.append(np.where(sw, kb, ka))
+                b_parts.append(np.where(sw, ka, kb))
+            return pd.DataFrame(
+                {
+                    "a": np.concatenate(a_parts) if a_parts else [],
+                    "b": np.concatenate(b_parts) if b_parts else [],
+                }
+            )
 
         mid_pairs = mid_m.groupBy("band_idx", "band_hash").applyInPandas(
             bucket_verify, f"a {key_type}, b {key_type}"

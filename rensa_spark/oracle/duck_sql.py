@@ -84,6 +84,42 @@ def _sm64(v: str) -> str:
     return _xor(t2, f"({t2}) // {1 << 31}")
 
 
+XXH_P1 = 0x9E3779B185EBCA87
+XXH_P2 = 0xC2B2AE3D27D4EB4F
+XXH_P3 = 0x165667B19E3779F9
+XXH_P4 = 0x85EBCA77C2B2AE63
+XXH_P5 = 0x27D4EB2F165667C5
+
+
+def xxhash64_long_ctes(src: str, id_col: str, seed: int = 42,
+                       prefix: str = "xx") -> str:
+    """CTE chain computing Spark's ``xxhash64`` of a BIGINT column — XXH64
+    over the value's 8 little-endian bytes with Spark's default seed 42
+    (one 8-byte round + avalanche; the single-long fast path of the public
+    XXH64 spec). Final CTE ``{prefix}h({id_col}, xxh)`` carries the SIGNED
+    64-bit hash, matching Spark LongType ordering — this is what makes a
+    distributed ``ORDER BY xxhash64(id)`` sample reproducible in SQL."""
+    h0 = (seed + XXH_P5 + 8) % M64
+    p = prefix
+    step1 = _lo64mul("u", str(XXH_P2))
+    step3 = _xor(str(h0), _lo64mul("b", str(XXH_P1)))
+    step4 = f"(({_lo64mul(_rotl('c', 27), str(XXH_P1))} + {XXH_P4}) % {M64})"
+    step5 = _lo64mul(_xor("d", f"d // {1 << 33}"), str(XXH_P2))
+    step6 = _lo64mul(_xor("e", f"e // {1 << 29}"), str(XXH_P3))
+    return f"""
+{p}0 AS (SELECT {id_col}, ((({id_col}::HUGEINT % {M64}) + {M64}) % {M64}) AS u FROM {src}),
+{p}1 AS (SELECT {id_col}, {step1} AS a FROM {p}0),
+{p}2 AS (SELECT {id_col}, {_rotl('a', 31)} AS b FROM {p}1),
+{p}3 AS (SELECT {id_col}, {step3} AS c FROM {p}2),
+{p}4 AS (SELECT {id_col}, {step4} AS d FROM {p}3),
+{p}5 AS (SELECT {id_col}, {step5} AS e FROM {p}4),
+{p}6 AS (SELECT {id_col}, {step6} AS w FROM {p}5),
+{p}h AS MATERIALIZED (
+    SELECT {id_col},
+           (CASE WHEN fv >= {1 << 63} THEN fv - {M64} ELSE fv END)::BIGINT AS xxh
+    FROM (SELECT {id_col}, {_xor('w', f'w // {1 << 32}')} AS fv FROM {p}6))"""
+
+
 def _r64(bl: str, off: str) -> str:
     """LE u64 read of 8 bytes at 0-based offset ``off`` of 1-indexed byte
     list ``bl`` (hash_bytes word reads, utils.rs:27-43)."""
@@ -901,9 +937,18 @@ grid AS MATERIALIZED (
 sized AS (
     SELECT doc_id,
            count(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_size
-    FROM bh)
-SELECT doc_id, bool_or(bucket_size >= 2) AS is_dup
-FROM sized GROUP BY doc_id ORDER BY doc_id"""
+    FROM bh),
+flags AS (SELECT doc_id, bool_or(bucket_size >= 2) AS is_dup
+          FROM sized GROUP BY doc_id),
+mb AS (
+    -- min over the SIGNED view of the u64 band hash (Spark band_hash is
+    -- int64, so its ordering differs from unsigned for hashes >= 2^63)
+    SELECT doc_id,
+           min(CASE WHEN band_hash >= {1 << 63} THEN band_hash - {M64}
+                    ELSE band_hash END)::BIGINT AS min_band_hash
+    FROM bh GROUP BY doc_id)
+SELECT f.doc_id, f.is_dup, mb.min_band_hash
+FROM flags f JOIN mb USING (doc_id) ORDER BY doc_id"""
 
 
 def ann_near_dup_sql(
@@ -978,11 +1023,15 @@ WITH emb AS MATERIALIZED (
            list_transform(embedding,
                           x -> floor(x::DOUBLE * {QUANT_SCALE})::BIGINT) AS vq
     FROM embeddings WHERE embedding IS NOT NULL),
+{xxhash64_long_ctes('emb', 'vid')},
 tr AS MATERIALIZED (
-    SELECT vid, vq FROM emb ORDER BY vid LIMIT {train_sample}),
+    -- seeded-hash sample order (ivf_train_centroids: deterministic AND
+    -- unbiased, unlike an id-prefix sample)
+    SELECT e.vid, e.vq, x.xxh FROM emb e JOIN xxh x USING (vid)
+    ORDER BY x.xxh, e.vid LIMIT {train_sample}),
 c0 AS MATERIALIZED (
-    SELECT row_number() OVER (ORDER BY vid) - 1 AS c, vq AS cv
-    FROM (SELECT vid, vq FROM tr ORDER BY vid LIMIT {n_centroids})),
+    SELECT row_number() OVER (ORDER BY xxh, vid) - 1 AS c, vq AS cv
+    FROM (SELECT vid, vq, xxh FROM tr ORDER BY xxh, vid LIMIT {n_centroids})),
 {",".join(iters)},
 probe AS MATERIALIZED (
     SELECT vid, vq, c, rn FROM (

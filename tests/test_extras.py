@@ -1403,6 +1403,84 @@ def test_lsh_index_legacy_layout_migration(spark, tmp_path):
     assert sigs == {"b"}
 
 
+def test_ivf_topk_high_dim_and_rerank_parity(spark, emb_df, monkeypatch):
+    """Round-4 verdict ask #5: above IVF_UNROLL_MAX_DIM the re-rank runs as
+    one Arrow-batched pandas UDF instead of a dim-term unrolled expression
+    (codegen/constant-pool risk at dim >= ~256). (a) both paths produce
+    identical rows on the same dim-64 corpus; (b) a dim-256 corpus runs the
+    lane green end-to-end with exact distances."""
+    from rensa_spark.operators import similarity as S
+
+    # (a) parity: force the pandas path on the dim-64 fixture
+    base = sorted(
+        tuple(r)
+        for r in S.ivf_topk(emb_df, "vec_id", "embedding", k=3, dim=64).collect()
+    )
+    monkeypatch.setattr(S, "IVF_UNROLL_MAX_DIM", 0)
+    alt = sorted(
+        tuple(r)
+        for r in S.ivf_topk(emb_df, "vec_id", "embedding", k=3, dim=64).collect()
+    )
+    monkeypatch.undo()
+    assert base == alt
+
+    # (b) dim-256: high-dim corpus end-to-end on the (automatic) pandas path
+    rng = np.random.default_rng(7)
+    n, dim = 200, 256
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = S.ivf_topk(df, "vec_id", "embedding", k=2, n_centroids=8, dim=dim).collect()
+    mq = S.quantize_vecs(vecs.astype(np.float64))
+    by_id = {int(i): mq[i] for i in range(n)}
+    assert len({r["qid"] for r in out}) == n
+    for r in out:
+        exact = int(((by_id[r["qid"]] - by_id[r["neighbor_id"]]) ** 2).sum())
+        assert r["l2sq"] == exact
+        if r["rank"] == 1:
+            assert r["neighbor_id"] == r["qid"] and r["l2sq"] == 0
+
+
+def test_ivf_train_sample_unbiased_and_buckets_observable(spark):
+    """Round-4 verdict ask #2: the IVF training sample follows seeded-hash
+    order, not smallest-id. Worst case for an id-prefix sample: ids sorted
+    by cluster with the big cluster on HIGH ids and train_sample smaller
+    than the corpus — an id-prefix sample would train only on the small
+    cluster and funnel the big cluster into one bucket. The hash-ordered
+    sample mixes clusters, so home buckets stay balanced; bucket skew is
+    observable through the bucket_metrics Observation."""
+    from pyspark.sql import Observation
+
+    from rensa_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    dim, n_a, n_b = 16, 100, 300
+    a = rng.normal(loc=0.0, scale=0.05, size=(n_a, dim))
+    b = rng.normal(loc=5.0, scale=0.05, size=(n_b, dim))
+    vecs = np.vstack([a, b]).astype(np.float32)  # ids 0..99=A, 100..399=B
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_a + n_b, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    obs = Observation("ivf_buckets")
+    out = ivf_topk(
+        df, "vec_id", "embedding", k=1, n_centroids=4, dim=dim,
+        train_sample=80, bucket_metrics=obs,
+    ).collect()
+    assert len(out) == n_a + n_b  # k=1 -> every query finds itself
+    got = obs.get
+    assert got["n_buckets"] >= 2
+    # id-prefix training (all 80 from cluster A) would leave every B row in
+    # one bucket: max >= 300. The mixed hash sample splits B across
+    # centroids.
+    assert got["max_bucket_members"] <= 250, got
+
+
 def test_ivf_topk_properties(spark, emb_df):
     """IVF ANN (integer coarse quantizer): every query finds itself at rank
     1 with distance 0 (its home bucket is always probed first), results are
