@@ -240,6 +240,25 @@ def main() -> None:
         ),
     )
 
+    # round-4 verdict ask #1: the df<->df top-k join on the same degenerate
+    # corpus (10k identical vectors + 40k random over 64 buckets — EVERY
+    # bucket hot at cap 128). The identical block collapses to k corpus
+    # rows and hot buckets sub-split on both sides, bounding the equi-join
+    # at ~50k*7*(bucket/2^extra) ~ 3.5M candidate rows; without the round-5
+    # treatment it emits ~50k*7*(50k/64) ~ 270M.
+    from rensa_spark.operators.similarity import bucketed_topk_join
+
+    runner.run(
+        "synthetic_topk_hot_50k",
+        lambda: _noop(
+            bucketed_topk_join(
+                ann_df, "vec_id", "embedding", ann_df, "vec_id", "embedding",
+                k=5, n_planes=6, dim=dim_ann, hot_bucket_cap=128,
+                extra_planes=6,
+            )
+        ),
+    )
+
     # exact-dedup shuffle-bytes lane (round-3 verdict ask #1): 20k documents
     # of ~10KB each (~200MB of text). The hash-keyed exact_dup_flags moves
     # ~24 bytes/row through its two exchanges; the retired groupBy(text)

@@ -219,6 +219,43 @@ def hyperplane_bucket_topk(
     )
 
 
+def _sign_sub_bucket(vq_col: str, planes2: np.ndarray):
+    """Extra-plane sign sub-bucket, JVM-side over an int64 fixed-point
+    vector column: bit j = (vq . planes2[j]) > 0 — the same exact integer
+    sign decision as the Python-side bucket UDFs, so sub-assignment is a
+    pure function of the quantized vector on every engine.
+
+    The constant-plane dots are UNROLLED getItem sums at dim <= 128
+    (higher-order zip_with/aggregate lambdas evaluate interpreted, outside
+    whole-stage codegen — the IVF re-rank measured 3x on the same shape);
+    integer addition is associative, so both forms are bit-identical."""
+    dim = planes2.shape[1]
+    bits = []
+    for j in range(len(planes2)):
+        if dim <= 128:
+            dotj = None
+            for i in range(dim):
+                c = int(planes2[j][i])
+                if c == 0:
+                    continue
+                term = F.col(vq_col).getItem(i) * F.lit(c)
+                dotj = term if dotj is None else dotj + term
+            if dotj is None:
+                dotj = F.lit(0).cast("long")
+        else:
+            pj = F.array(*[F.lit(int(c)) for c in planes2[j]])
+            dotj = F.aggregate(
+                F.zip_with(vq_col, pj, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        bits.append(F.when(dotj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 def bucketed_topk_join(
     df: DataFrame,
     id_col: str,
@@ -230,6 +267,9 @@ def bucketed_topk_join(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    hot_bucket_cap: int = 2048,
+    extra_planes: int = 6,
+    capped_metrics="rensa_topk_capped_buckets",
 ) -> DataFrame:
     """Many-query ANN lane: df <-> df hyperplane-bucket EQUI-JOIN + per-query
     window top-k — no driver-side query collection, so it scales to millions
@@ -240,10 +280,30 @@ def bucketed_topk_join(
     the query side explodes to its own bucket plus all 1-bit flips
     (multiprobe, same probe set as the broadcast lane), the corpus side is
     keyed by its single bucket, and the ONE shuffle is the equi-join on
-    ``bucket``. A corpus row occupies exactly one bucket and the probe set
-    per query is distinct, so (qid, neighbor) pairs are already unique — no
-    dedup pass. Cosine re-rank runs JVM-side (zip_with/aggregate), then a
-    per-qid window keeps the top-k.
+    ``(bucket, sub)``. A corpus row occupies exactly one bucket and the
+    probe set per query is distinct, so (qid, neighbor) pairs are already
+    unique — no dedup pass. Cosine re-rank runs JVM-side
+    (zip_with/aggregate), then a per-qid window keeps the top-k.
+
+    Scale shape (round-4 verdict ask #1 — the fixed 2^n_planes bucket
+    domain made the equi-join O(n^2 * probes / 2^n_planes) at large n; the
+    same treatment as ``ann_near_dup_pairs``):
+
+    1. EXACT identical-vector collapse on the corpus side: rows with the
+       same quantized vector score identically for every query and the
+       final ranking tie-breaks by neighbor id, so only the k SMALLEST ids
+       of each identical group can ever appear in any query's top-k — a
+       degenerate all-same-vector region contributes k rows to the join,
+       not its full membership. Never approximate, any SF.
+    2. buckets still holding more than ``hot_bucket_cap`` rows after the
+       collapse are subdivided by ``extra_planes`` additional quantized
+       hyperplanes on BOTH join sides (corpus rows by their vector's
+       sub-pattern, probing queries by theirs) — expected membership drops
+       by 2^extra_planes at a recall trade INSIDE hot buckets only.
+       Small-SF oracles never reach the cap, so duck_sql.ann_topk_many_sql
+       is unchanged. Entering the regime is observable via
+       ``capped_metrics`` (capped_buckets, max_bucket_rows; string name
+       (uniquified), Observation, or None — the candidate_pairs contract).
     """
     if dim is None:
         dim = len(
@@ -252,6 +312,7 @@ def bucketed_topk_join(
             )
         )
     planes = quantized_hyperplanes(dim, n_planes, seed)
+    planes2 = quantized_hyperplanes(dim, extra_planes, seed + 7919)
 
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import LongType
@@ -284,6 +345,44 @@ def bucketed_topk_join(
         _qvec(F.col(vec_col)).alias("nvec"),
         F.coalesce(bucket_udf(F.col(vec_col)), F.lit(-1)).alias("bucket"),
     ).withColumn("nn2", _n2("nvec"))
+    # EXACT identical-vector collapse (scale step 1 in the docstring):
+    # keep only the k smallest neighbor ids per identical quantized vector
+    wv = Window.partitionBy("nvec").orderBy("neighbor_id")
+    corpus = (
+        corpus.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .localCheckpoint(eager=False)  # consumed by sizes + the join
+    )
+    sizes_raw = corpus.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_in_bucket")
+    )
+    # the observed node feeds ONLY the corpus-side join: both sides need
+    # the bucket sizes, but routing one CollectMetrics subtree into two
+    # joins would either double-count its sum on re-execution or trip the
+    # duplicate-observed-metrics analyzer check
+    sizes = sizes_raw
+    if capped_metrics is not None:
+        if capped_metrics == "rensa_topk_capped_buckets":
+            from rensa_spark.operators.lsh import _METRICS_SEQ
+
+            capped_metrics = f"rensa_topk_capped_buckets_{next(_METRICS_SEQ)}"
+        sizes = sizes_raw.observe(
+            capped_metrics,
+            F.sum(
+                F.when(F.col("n_in_bucket") > hot_bucket_cap, 1).otherwise(0)
+            ).alias("capped_buckets"),
+            F.max("n_in_bucket").alias("max_bucket_rows"),
+        )
+    _hot_sub = lambda vq_name: F.when(  # noqa: E731
+        F.col("n_in_bucket") > hot_bucket_cap,
+        F.coalesce(_sign_sub_bucket(vq_name, planes2), F.lit(0)),
+    ).otherwise(F.lit(0))
+    corpus = (
+        corpus.join(F.broadcast(sizes), "bucket")
+        .withColumn("sub", _hot_sub("nvec"))
+        .drop("n_in_bucket")
+    )
     probe_array = F.array(
         F.col("qbucket"),
         *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
@@ -296,17 +395,31 @@ def bucketed_topk_join(
         )
         .withColumn("qn2", _n2("qvec"))
         .withColumn("bucket", F.explode(probe_array))
+        # a probe bucket absent from sizes has no candidates anyway — the
+        # inner join drops it before the big equi-join instead of after
+        .join(F.broadcast(sizes_raw), "bucket")
+        .withColumn("sub", _hot_sub("qvec"))
+        .drop("n_in_bucket")
     )
     # exact int64 dot; the score expression shape (int->double, sqrt, mul,
     # div — each correctly rounded once over exact integers) matches the
-    # DuckDB oracle bit-for-bit
-    dot = F.aggregate(
-        F.zip_with("qvec", "nvec", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # DuckDB oracle bit-for-bit. Unrolled per-slot sum at dim <= 128 (the
+    # HOF lambda evaluates interpreted PER CANDIDATE ROW — the hot 50k
+    # lane measured ~2x end-to-end from unrolling this + the sub dots);
+    # int64 addition is associative, so both forms are bit-identical.
+    if dim <= 128:
+        dot = None
+        for i in range(dim):
+            term = F.col("qvec").getItem(i) * F.col("nvec").getItem(i)
+            dot = term if dot is None else dot + term
+    else:
+        dot = F.aggregate(
+            F.zip_with("qvec", "nvec", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
     scored = (
-        qside.join(corpus, "bucket")
+        qside.join(corpus, ["bucket", "sub"])
         .withColumn(
             "score",
             F.when(
@@ -316,8 +429,6 @@ def bucketed_topk_join(
             ).otherwise(F.lit(0.0)),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -465,26 +576,11 @@ def ann_near_dup_pairs(
         )
     sized = reps.join(sizes, "bucket")
 
-    def _sub_bucket():
-        bits = []
-        for j in range(extra_planes):
-            pj = F.array(*[F.lit(int(c)) for c in planes2[j]])
-            dotj = F.aggregate(
-                F.zip_with("vq", pj, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(dotj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
     small = sized.filter(F.col("n_distinct") <= hot_bucket_cap).withColumn(
         "sub", F.lit(0)
     )
     hot = sized.filter(F.col("n_distinct") > hot_bucket_cap).withColumn(
-        "sub", _sub_bucket()
+        "sub", _sign_sub_bucket("vq", planes2)
     )
     rep_side = small.unionByName(hot).select("gid", "vq", "bucket", "sub", "n2")
     x = rep_side.alias("x")

@@ -637,6 +637,60 @@ def test_bucketed_topk_join_matches_broadcast_lane(spark, emb_df):
         assert sub.iloc[0]["neighbor_id"] == qid
 
 
+def test_bucketed_topk_collapse_and_subsplit(spark):
+    """Round-4 verdict ask #1: the df<->df top-k join gets the near-dup
+    lane's scale treatment. (a) identical-vector collapse is EXACT: every
+    query identical to a degenerate group resolves to the group's k
+    smallest ids at cosine 1.0 — the group contributes k rows to the join,
+    not its full membership. (b) buckets over the cap sub-split on both
+    sides: the capped regime is observable, every query still resolves,
+    and self-retrieval survives (a query always shares its own bucket AND
+    its own sub-pattern)."""
+    from pyspark.sql import Observation
+
+    from rensa_spark.operators.similarity import bucketed_topk_join
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    # ids 0..199: one identical vector; 200..299: random
+    block = np.tile(rng.normal(size=(1, dim)), (200, 1))
+    rest = rng.normal(size=(100, dim))
+    vecs = np.vstack([block, rest]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    out = bucketed_topk_join(
+        df, "vec_id", "embedding", df, "vec_id", "embedding",
+        k=3, n_planes=4, dim=dim,
+    ).toPandas()
+    for qid in (0, 57, 199):  # members of the identical block
+        got = out[out["qid"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert got == [0, 1, 2], (qid, got)
+
+    # (b) force the capped regime: 2 planes -> 4 buckets of ~75 >> cap 20
+    obs = Observation("topk_capped")
+    out2 = bucketed_topk_join(
+        df, "vec_id", "embedding", df, "vec_id", "embedding",
+        k=3, n_planes=2, dim=dim, hot_bucket_cap=20, extra_planes=4,
+        capped_metrics=obs,
+    ).toPandas()
+    assert obs.get["capped_buckets"] >= 1
+    assert obs.get["max_bucket_rows"] > 20
+    # every query resolves, and rank-1 is the query itself (or, inside the
+    # identical block, the block's smallest id — same cosine-1.0 class)
+    assert set(out2["qid"]) == set(range(300))
+    r1 = out2[out2["rank"] == 1].set_index("qid")["neighbor_id"]
+    for qid in range(200, 300):
+        assert r1[qid] == qid, (qid, r1[qid])
+    for qid in range(200):
+        assert r1[qid] == 0, (qid, r1[qid])
+
+
 def test_byte_token_sig_parity(spark):
     """array<binary> token columns produce the same signatures as the text
     path when the bytes are the UTF-8 shingles (reference bytes-token input,
