@@ -8,9 +8,13 @@ hygiene, Arrow batch shape, UDF signatures — is real and tested. Codecs
 - PPM (pure numpy), BMP (24-bit BI_RGB, bottom-up, row padding) and PNG
   (8-bit RGB/RGBA non-interlaced, all five row filters, stdlib zlib) decode
   FOR REAL — no imaging library needed; PNG/BMP/PPM encoders round-trip.
+- Baseline JPEG (round-5, operators/jpeg_codec): SOF0 4:4:4 with the
+  standard Annex-K tables, full encoder + decoder in pure numpy/stdlib;
+  round-trip PSNR > 50 dB at the default quality (north-rule invariant
+  is >= 40 dB).
 - WAV (RIFF PCM16, chunk walk) decodes for real on the audio lane.
-- Only formats that genuinely require absent native libraries (jpeg DCT,
-  mp4/webm containers, mp3/flac) remain behind NotImplementedError.
+- Only the av containers (mp4/webm, mp3/flac) remain behind
+  NotImplementedError — they genuinely require absent native libraries.
 
 Scale rule (SURVEY.md §7 hard part 6): the dedup hot path never touches
 ``bytes`` — it reads only caption/phash (column pruning keeps the scan
@@ -176,9 +180,10 @@ def encode_png(px: np.ndarray) -> bytes:
 
 
 def decode_pixels(data: bytes | None, fmt: str) -> np.ndarray | None:
-    """Decode one image payload to (h, w, 3) uint8. PPM, BMP (24-bit) and
-    PNG (8-bit RGB/RGBA) decode for real; jpeg remains stubbed (DCT+Huffman
-    requires a codec library not present in this container)."""
+    """Decode one image payload to (h, w, 3) uint8. PPM, BMP (24-bit),
+    PNG (8-bit RGB/RGBA) and baseline JPEG (SOF0 4:4:4, operators/jpeg_codec
+    — round-5) decode for real; only the av containers (mp4/webm, mp3/flac)
+    remain stubbed."""
     if data is None:
         return None
     data = bytes(data)
@@ -188,6 +193,10 @@ def decode_pixels(data: bytes | None, fmt: str) -> np.ndarray | None:
         return decode_bmp(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt in ("jpeg", "jpg"):
+        from rensa_spark.operators.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"decoder for fmt={fmt!r} requires an imaging library not present in "
         "this container; the Spark plumbing (schema/batching) is format-agnostic"

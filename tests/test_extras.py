@@ -380,6 +380,85 @@ def test_image_stats_decodes_png_and_bmp(spark):
     assert got["b1"]["px_phash"] == got["b1"]["phash"]
 
 
+def test_jpeg_codec_roundtrip_psnr():
+    """Round-5: the baseline JFIF codec (operators/jpeg_codec) closes the
+    last image-format stub. Encoder output must decode back above the
+    north-rule lossy invariant (PSNR >= 40 dB) at the default quality,
+    across smooth, gradient, flat and odd-sized (block padding) images."""
+    from rensa_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from rensa_spark.sources.synthetic import psnr
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:48, 0:72]
+    grad = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    coarse = rng.integers(0, 256, size=(6, 9, 3))
+    smooth = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1).astype(np.uint8)
+    flat = np.full((16, 24, 3), 130, dtype=np.uint8)
+    for px in (grad, smooth, flat, grad[:41, :67]):
+        data = encode_jpeg(px, quality=92)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        dec = decode_jpeg(data)
+        assert dec.shape == px.shape
+        assert psnr(px, dec) >= 40.0
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    """Foreign features fail loudly, not wrongly: progressive scans (SOF2),
+    chroma subsampling, and restart intervals are declared unsupported."""
+    import pytest as _pytest
+
+    from rensa_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    px = np.full((8, 8, 3), 99, dtype=np.uint8)
+    data = bytearray(encode_jpeg(px))
+    sof = bytes(data).find(b"\xff\xc0")
+
+    prog = data.copy()
+    prog[sof + 1] = 0xC2  # SOF0 -> SOF2
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+
+    sub = data.copy()
+    sub[sof + 11] = 0x22  # Y sampling 1x1 -> 2x2
+    with _pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+
+    dri = data[:sof] + b"\xff\xdd\x00\x04\x00\x08" + data[sof:]
+    with _pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(bytes(dri))
+
+
+def test_image_stats_decodes_jpeg(spark):
+    """image_stats runs the real JPEG decoder inside the Arrow batches: the
+    Spark-side px_phash must equal the phash of the locally decoded pixels
+    (decode determinism through the whole Arrow/UDF plumbing)."""
+    from rensa_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from rensa_spark.operators.multimodal import image_stats
+    from rensa_spark.sources.synthetic import phash_of_pixels
+
+    rng = np.random.default_rng(21)
+    coarse = rng.integers(0, 256, size=(2, 2, 3))
+    px = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1).astype(np.uint8)
+    data = encode_jpeg(px)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["j1"],
+                "bytes": [data],
+                "w": np.int32(16),
+                "h": np.int32(16),
+                "fmt": ["jpeg"],
+                "caption": ["c"],
+                "phash": [phash_of_pixels(px)],
+            }
+        )
+    )
+    got = {r["image_id"]: r for r in image_stats(df).collect()}
+    assert got["j1"]["px_phash"] == phash_of_pixels(decode_jpeg(data))
+
+
 def test_near_dup_pixels_meet_psnr_bound():
     from rensa_spark.sources.synthetic import (
         _near_dup_pixels,
