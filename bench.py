@@ -259,6 +259,33 @@ def main() -> None:
         ),
     )
 
+    # JPEG decode throughput (round-5: the image payload decodes for real —
+    # 2k baseline JFIF payloads decoded + phashed inside the Arrow batches;
+    # Huffman bit IO is Python, so this lane prices the sampled pixel-verify
+    # pass, NOT the dedup hot path, which never touches bytes)
+    from rensa_spark.operators.jpeg_codec import encode_jpeg
+    from rensa_spark.operators.multimodal import image_stats
+    from rensa_spark.sources.synthetic import phash_of_pixels
+
+    rng_j = np.random.default_rng(99)
+    jrows = []
+    for i in range(2000):
+        coarse = rng_j.integers(0, 256, size=(4, 4, 3))
+        px = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1).astype(np.uint8)
+        jrows.append(
+            ("img%04d" % i, encode_jpeg(px), 32, 32, "jpeg", "cap %d" % i,
+             phash_of_pixels(px))
+        )
+    jpdf = pd.DataFrame(
+        jrows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+    jdf = spark.createDataFrame(jpdf).repartition(CPUS).cache()
+    jdf.count()
+    runner.run(
+        "synthetic_jpeg_decode_2k",
+        lambda: _noop(image_stats(jdf)),
+    )
+
     # exact-dedup shuffle-bytes lane (round-3 verdict ask #1): 20k documents
     # of ~10KB each (~200MB of text). The hash-keyed exact_dup_flags moves
     # ~24 bytes/row through its two exchanges; the retired groupBy(text)
