@@ -194,7 +194,11 @@ def test_image_roundtrip_and_invariants(spark):
 def test_decode_stub_raises_for_unknown_format():
     from rensa_spark.operators.multimodal import decode_pixels
 
+    # jpeg decodes for real since round 5 — unknown formats still fail
+    # loudly, and truncated jpeg bytes raise a clear ValueError
     with pytest.raises(NotImplementedError):
+        decode_pixels(b"II*\x00...", "tiff")
+    with pytest.raises(ValueError):
         decode_pixels(b"\xff\xd8\xff\xe0...", "jpeg")
 
 
