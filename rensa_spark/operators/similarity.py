@@ -276,14 +276,18 @@ def bucketed_topk_join(
     of query vectors (the round-1 ``hyperplane_bucket_topk`` broadcasts a
     pandas query set; this is its distributed replacement).
 
-    Plan shape: each side crosses Python once (Arrow-batched bucket UDF);
-    the query side explodes to its own bucket plus all 1-bit flips
+    Plan shape: each side crosses Python once for bucketing (Arrow-batched
+    UDF); the query side explodes to its own bucket plus all 1-bit flips
     (multiprobe, same probe set as the broadcast lane), the corpus side is
-    keyed by its single bucket, and the ONE shuffle is the equi-join on
-    ``(bucket, sub)``. A corpus row occupies exactly one bucket and the
-    probe set per query is distinct, so (qid, neighbor) pairs are already
-    unique — no dedup pass. Cosine re-rank runs JVM-side
-    (zip_with/aggregate), then a per-qid window keeps the top-k.
+    keyed by its single bucket, and the ONE data shuffle keys both sides
+    by ``(bucket, sub)`` into a COGROUPED applyInPandas that scores each
+    group with one numpy matmul and emits only the in-group top-k — the
+    candidate set is never materialized as rows (round 5: per-pair
+    expression scoring measured ~3 us/row; the group matmul is BLAS and
+    its output is min(k, nc) rows per (query, probe)). A corpus row
+    occupies exactly one (bucket, sub) and the probe set per query is
+    distinct, so (qid, neighbor) pairs are already unique — the final
+    per-qid window just merges <= probes*k partial rows per query.
 
     Scale shape (round-4 verdict ask #1 — the fixed 2^n_planes bucket
     domain made the equi-join O(n^2 * probes / 2^n_planes) at large n; the
@@ -330,11 +334,6 @@ def bucketed_topk_join(
             c, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
         )
 
-    def _n2(name):
-        return F.aggregate(
-            name, F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        )
-
     # coalesce makes the join key non-nullable: without it Catalyst pushes an
     # isnotnull(bucket) filter below the projection and DUPLICATES the Python
     # UDF (two ArrowEvalPython nodes = 2x Arrow serialization of every
@@ -344,7 +343,7 @@ def bucketed_topk_join(
         F.col(id_col).alias("neighbor_id"),
         _qvec(F.col(vec_col)).alias("nvec"),
         F.coalesce(bucket_udf(F.col(vec_col)), F.lit(-1)).alias("bucket"),
-    ).withColumn("nn2", _n2("nvec"))
+    )
     # EXACT identical-vector collapse (scale step 1 in the docstring):
     # keep only the k smallest neighbor ids per identical quantized vector
     wv = Window.partitionBy("nvec").orderBy("neighbor_id")
@@ -378,8 +377,13 @@ def bucketed_topk_join(
         F.col("n_in_bucket") > hot_bucket_cap,
         F.coalesce(_sign_sub_bucket(vq_name, planes2), F.lit(0)),
     ).otherwise(F.lit(0))
+    # no broadcast hint on the OBSERVED side: re-executions of a broadcast
+    # exchange wrapping a CollectMetrics node spam accumulator-lookup
+    # errors after the first job unregisters it (observed in the 50k
+    # smoke); AQE still picks a broadcast join for the 2^n_planes-row
+    # aggregate on its own, through a path that re-registers cleanly
     corpus = (
-        corpus.join(F.broadcast(sizes), "bucket")
+        corpus.join(sizes, "bucket")
         .withColumn("sub", _hot_sub("nvec"))
         .drop("n_in_bucket")
     )
@@ -393,45 +397,86 @@ def bucketed_topk_join(
             _qvec(F.col(qvec_col)).alias("qvec"),
             F.coalesce(bucket_udf(F.col(qvec_col)), F.lit(-1)).alias("qbucket"),
         )
-        .withColumn("qn2", _n2("qvec"))
         .withColumn("bucket", F.explode(probe_array))
         # a probe bucket absent from sizes has no candidates anyway — the
-        # inner join drops it before the big equi-join instead of after
+        # inner join drops it before the cogroup instead of after
         .join(F.broadcast(sizes_raw), "bucket")
         .withColumn("sub", _hot_sub("qvec"))
         .drop("n_in_bucket")
     )
-    # exact int64 dot; the score expression shape (int->double, sqrt, mul,
-    # div — each correctly rounded once over exact integers) matches the
-    # DuckDB oracle bit-for-bit. Unrolled per-slot sum at dim <= 128 (the
-    # HOF lambda evaluates interpreted PER CANDIDATE ROW — the hot 50k
-    # lane measured ~2x end-to-end from unrolling this + the sub dots);
-    # int64 addition is associative, so both forms are bit-identical.
-    if dim <= 128:
-        dot = None
-        for i in range(dim):
-            term = F.col("qvec").getItem(i) * F.col("nvec").getItem(i)
-            dot = term if dot is None else dot + term
-    else:
-        dot = F.aggregate(
-            F.zip_with("qvec", "nvec", lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-    scored = (
-        qside.join(corpus, ["bucket", "sub"])
-        .withColumn(
-            "score",
-            F.when(
-                (F.col("qn2") > 0) & (F.col("nn2") > 0),
-                dot.cast("double")
-                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double"))),
-            ).otherwise(F.lit(0.0)),
+    # Scoring runs per (bucket, sub) GROUP as one numpy matmul with an
+    # in-group partial top-k (cogrouped applyInPandas) — NEVER per
+    # candidate row: materializing the equi-join and evaluating the cosine
+    # expression per pair measured ~3 us/row (the 64-getItem unroll and
+    # the HOF lambda both evaluate outside any fast path at this
+    # expression size), i.e. 20s for a 5.8M-candidate degenerate lane,
+    # whereas the group matmul is BLAS and only min(k, nc) rows per
+    # (query, probe) ever leave the group — the exchange after carries
+    # <= probes*k rows per query instead of the full candidate set.
+    # Exactness: the int64 dot is exact, and score = dot / (sqrt(qn2) *
+    # sqrt(nn2)) is three correctly-rounded float64 ops — bit-identical in
+    # numpy, the JVM, and the DuckDB oracle (the round-3 fixed-point ANN
+    # contract). In-group ties order by (score desc, neighbor_id asc) via
+    # chained stable argsorts, matching the final window exactly.
+    # Group memory ~ (nq + nc) * dim * 8B; nc is bounded by the cap /
+    # sub-split, nq chunks at 4096 rows per matmul.
+    qid_type = queries_df.schema[qid_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def group_topk(qpdf, cpdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {"qid": [], "neighbor_id": [], "score": []}
+            )
+        C = np.stack([np.asarray(v, dtype=np.int64) for v in cpdf["nvec"]])
+        nid = cpdf["neighbor_id"].values
+        perm0 = np.argsort(nid, kind="stable")  # tie-break order, computed once
+        C = C[perm0]
+        nid = nid[perm0]
+        n2c = (C * C).sum(axis=1).astype(np.float64)
+        top = min(k, len(nid))
+        out = []
+        for lo in range(0, len(qpdf), 4096):
+            sub_q = qpdf.iloc[lo : lo + 4096]
+            Q = np.stack([np.asarray(v, dtype=np.int64) for v in sub_q["qvec"]])
+            q2 = (Q * Q).sum(axis=1).astype(np.float64)
+            dots = (Q @ C.T).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(
+                    (q2[:, None] > 0) & (n2c[None, :] > 0),
+                    dots / (np.sqrt(q2)[:, None] * np.sqrt(n2c)[None, :]),
+                    0.0,
+                )
+            # rowwise lexsort(primary -score, secondary neighbor_id):
+            # columns are already in nid order, so one stable argsort on
+            # -score preserves the id tie-break
+            order = np.argsort(-S, axis=1, kind="stable")[:, :top]
+            rows = np.arange(S.shape[0])[:, None]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.repeat(sub_q["qid"].values, top),
+                        "neighbor_id": nid[order].reshape(-1),
+                        "score": S[rows, order].reshape(-1),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partial = (
+        qside.select("bucket", "sub", "qid", "qvec")
+        .groupBy("bucket", "sub")
+        .cogroup(corpus.select("bucket", "sub", "neighbor_id", "nvec").groupBy("bucket", "sub"))
+        .applyInPandas(
+            group_topk, f"qid {qid_type}, neighbor_id {id_type}, score double"
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "neighbor_id")
         .orderBy("qid", "rank")
