@@ -80,6 +80,31 @@ def test_ann_bucket_join_no_udf_duplication(spark, image_table):
     assert len(re.findall(r"\) ArrowEvalPython", plan)) == 1
 
 
+def test_ann_bucket_join_scores_in_cogroup_not_per_pair(spark):
+    """bucketed_topk_join (round-5): scoring happens inside ONE cogrouped
+    applyInPandas — the candidate set must never materialize as join rows
+    with a per-pair score expression (measured ~3 us/candidate however the
+    expression is written). The plan shows the FlatMapCoGroupsInPandas
+    node, and no SortMergeJoin/ShuffledHashJoin sits ABOVE it (the only
+    joins allowed are the tiny bucket-size joins feeding it)."""
+    from rensa_spark.operators.similarity import bucketed_topk_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _formatted_plan(
+        bucketed_topk_join(
+            emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+            k=3, n_planes=4, dim=64,
+        )
+    )
+    assert len(re.findall(r"\) FlatMapCoGroupsInPandas", plan)) == 1
+    cogroup_pos = plan.index("FlatMapCoGroupsInPandas")
+    above = plan[:cogroup_pos]
+    # the section of the formatted tree printed above the cogroup node is
+    # the post-scoring pipeline (window/rank/sort) — no join may reappear
+    # there between scoring and the final top-k
+    assert "Join" not in above.split("== Physical Plan ==")[-1], above[-500:]
+
+
 def test_multimodal_clusters_never_scan_bytes(image_table):
     """The multimodal dedup hot path reads only (image_id, caption, phash)
     even though the table carries pixel payloads (north rule / SURVEY §7
