@@ -369,6 +369,75 @@ def video_frame_sample(
     return df.select(key_col, bytes_col, fmt_col).mapInPandas(gen, schema)
 
 
+def video_frame_ranges(
+    df: DataFrame,
+    key_col: str = "video_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    n_frames: int = 4,
+    keyframes_only: bool = True,
+) -> DataFrame:
+    """One row per SAMPLED sample of an MP4 container: (key, frame_idx,
+    offset, size, pts_s, keyframe) — the container-walk half of video
+    frame sampling (round 5, operators/mp4_parse). At 100 TB this is the
+    operation that matters: the sample tables live in a few KB of `moov`,
+    so picking k keyframes and issuing byte-range reads into `mdat` never
+    decodes (or even reads) the other 99% of the payload. The codec
+    payload itself stays opaque (no decoder libraries here) — pixel-level
+    frame work remains behind video_frame_sample's declared
+    NotImplementedError for container formats.
+
+    Sampling picks ``n_frames`` midpoint-rule indices over the keyframe
+    set (``keyframes_only=True``, the fetch-efficient choice: keyframes
+    decode standalone) or over all samples."""
+    from rensa_spark.operators.mp4_parse import mp4_sample_table
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = (
+        f"key {key_type}, frame_idx int, offset long, size long, "
+        "pts_s double, keyframe boolean"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("key", "frame_idx", "offset", "size", "pts_s", "keyframe")}
+            for key, data, fmt in zip(pdf[key_col], pdf[bytes_col], pdf[fmt_col]):
+                if data is None:
+                    continue
+                if fmt != "mp4":
+                    raise NotImplementedError(
+                        f"sample-table parsing for fmt={fmt!r} not supported "
+                        "(mp4/ISO-BMFF only; webm needs an EBML walk)"
+                    )
+                tab = mp4_sample_table(bytes(data))
+                pool = (
+                    np.nonzero(tab["keyframe"])[0]
+                    if keyframes_only and tab["keyframe"].any()
+                    else np.arange(len(tab["size"]))
+                )
+                picks = pool[frame_sample_indices(len(pool), n_frames)]
+                for fi in picks:
+                    out["key"].append(key)
+                    out["frame_idx"].append(int(fi))
+                    out["offset"].append(int(tab["offset"][fi]))
+                    out["size"].append(int(tab["size"][fi]))
+                    out["pts_s"].append(float(tab["pts"][fi]))
+                    out["keyframe"].append(bool(tab["keyframe"][fi]))
+            yield pd.DataFrame(
+                {
+                    "key": out["key"],
+                    "frame_idx": np.array(out["frame_idx"], dtype=np.int32),
+                    "offset": np.array(out["offset"], dtype=np.int64),
+                    "size": np.array(out["size"], dtype=np.int64),
+                    "pts_s": np.array(out["pts_s"], dtype=np.float64),
+                    "keyframe": np.array(out["keyframe"], dtype=bool),
+                }
+            )
+
+    return df.select(key_col, bytes_col, fmt_col).mapInPandas(gen, schema)
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, mono float64 samples in int16 range) from a RIFF/WAVE
     PCM payload. Walks the chunk list (LIST/INFO etc. skipped), supports

@@ -463,6 +463,131 @@ def test_image_stats_decodes_jpeg(spark):
     assert got["j1"]["px_phash"] == phash_of_pixels(decode_jpeg(data))
 
 
+def _build_test_mp4(sample_payloads, deltas, timescale=600, sync=None,
+                    chunks=None):
+    """Minimal valid ISO-BMFF file: ftyp + mdat carrying the payloads +
+    moov/trak/mdia(hdlr=vide)/minf/stbl with stsd/stts/stsc/stsz/stco
+    (+stss). ``chunks`` = list of samples-per-chunk (default: one chunk)."""
+    import struct as st
+
+    def box(t, payload):
+        return st.pack(">I4s", 8 + len(payload), t) + payload
+
+    def full(t, payload, version=0):
+        return box(t, st.pack(">I", version << 24) + payload)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(sample_payloads)
+    mdat = box(b"mdat", mdat_payload)
+    mdat_start = len(ftyp) + 8  # first sample's file offset
+
+    sizes = [len(p) for p in sample_payloads]
+    chunks = chunks or [len(sizes)]
+    assert sum(chunks) == len(sizes)
+    chunk_offsets, pos, si = [], mdat_start, 0
+    for c in chunks:
+        chunk_offsets.append(pos)
+        pos += sum(sizes[si : si + c])
+        si += c
+
+    stts_runs = []
+    for d in deltas:  # one run per sample (compact enough for tests)
+        if stts_runs and stts_runs[-1][1] == d:
+            stts_runs[-1][0] += 1
+        else:
+            stts_runs.append([1, d])
+    stts = full(b"stts", st.pack(">I", len(stts_runs)) + b"".join(
+        st.pack(">II", c, d) for c, d in stts_runs))
+    # stsc runs: collapse equal consecutive samples-per-chunk
+    stsc_runs = []
+    for i, c in enumerate(chunks):
+        if stsc_runs and stsc_runs[-1][1] == c:
+            continue
+        stsc_runs.append((i + 1, c))
+    stsc = full(b"stsc", st.pack(">I", len(stsc_runs)) + b"".join(
+        st.pack(">III", fc, spc, 1) for fc, spc in stsc_runs))
+    stsz = full(b"stsz", st.pack(">II", 0, len(sizes)) + b"".join(
+        st.pack(">I", s) for s in sizes))
+    stco = full(b"stco", st.pack(">I", len(chunk_offsets)) + b"".join(
+        st.pack(">I", o) for o in chunk_offsets))
+    stsd = full(b"stsd", st.pack(">I", 0))
+    stbl_children = stsd + stts + stsc + stsz + stco
+    if sync is not None:
+        stbl_children += full(b"stss", st.pack(">I", len(sync)) + b"".join(
+            st.pack(">I", s + 1) for s in sync))  # 1-based
+    stbl = box(b"stbl", stbl_children)
+    minf = box(b"minf", stbl)
+    hdlr = full(b"hdlr", st.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"t\x00")
+    mdhd = full(b"mdhd", st.pack(">IIII", 0, 0, timescale, 0) + st.pack(">HH", 0x55C4, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(b"tkhd", b"\x00" * 80)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", b"\x00" * 96)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_sample_table_parse():
+    """The ISO-BMFF walk recovers exactly the offsets/sizes/pts/keyframes
+    the file was built with, across multi-chunk layouts, and byte-range
+    reads at the parsed offsets return the planted sample payloads."""
+    from rensa_spark.operators.mp4_parse import mp4_sample_table
+
+    payloads = [bytes([65 + i]) * (10 + 3 * i) for i in range(7)]
+    deltas = [100, 100, 100, 200, 200, 100, 100]
+    data = _build_test_mp4(
+        payloads, deltas, timescale=600, sync=[0, 3, 6], chunks=[3, 2, 2]
+    )
+    tab = mp4_sample_table(data)
+    assert list(tab["size"]) == [len(p) for p in payloads]
+    for i, p in enumerate(payloads):
+        o, s = int(tab["offset"][i]), int(tab["size"][i])
+        assert data[o : o + s] == p, i
+    # pts = cumulative deltas / timescale, starting at 0
+    expect_pts = np.concatenate([[0], np.cumsum(deltas)[:-1]]) / 600.0
+    assert np.allclose(tab["pts"], expect_pts)
+    assert list(np.nonzero(tab["keyframe"])[0]) == [0, 3, 6]
+    assert tab["timescale"] == 600
+
+    # no stss -> every sample is a keyframe
+    tab2 = mp4_sample_table(_build_test_mp4(payloads, deltas))
+    assert tab2["keyframe"].all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="moov"):
+        mp4_sample_table(b"\x00\x00\x00\x08free")
+
+
+def test_video_frame_ranges_spark(spark):
+    """video_frame_ranges runs the container walk inside Arrow batches:
+    sampled rows point at real byte ranges of the real file, preferring
+    keyframes; non-mp4 formats fail loudly."""
+    from rensa_spark.operators.multimodal import video_frame_ranges
+
+    payloads = [bytes([48 + i]) * (8 + i) for i in range(10)]
+    deltas = [100] * 10
+    data = _build_test_mp4(payloads, deltas, sync=[0, 4, 8])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"video_id": ["v1"], "bytes": [data], "fmt": ["mp4"]}
+        )
+    )
+    rows = video_frame_ranges(df, n_frames=2).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["keyframe"]  # keyframes_only picks from the stss set
+        assert data[r["offset"] : r["offset"] + r["size"]] == payloads[r["frame_idx"]]
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["v2"], "bytes": [b"xx"], "fmt": ["webm"]})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="webm"):
+        video_frame_ranges(bad, n_frames=1).collect()
+
+
 def test_near_dup_pixels_meet_psnr_bound():
     from rensa_spark.sources.synthetic import (
         _near_dup_pixels,
