@@ -438,6 +438,68 @@ def video_frame_ranges(
     return df.select(key_col, bytes_col, fmt_col).mapInPandas(gen, schema)
 
 
+def audio_stream_info(
+    df: DataFrame,
+    key_col: str = "audio_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Per-payload audio stream metadata WITHOUT decoding audio samples:
+    (key, sample_rate, channels, duration_s, n_units). Round 5
+    (operators/audio_parse): FLAC via the STREAMINFO block, MP3 via an
+    MPEG frame-header walk, WAV via the RIFF fmt/data chunks — corpus
+    duration/rate statistics at header-read cost; PCM-level features stay
+    in audio_features (and compressed payload decode stays a declared
+    stub)."""
+    from rensa_spark.operators.audio_parse import flac_streaminfo, mp3_frame_walk
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = (
+        f"key {key_type}, sample_rate int, channels int, "
+        "duration_s double, n_units long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("key", "sample_rate", "channels", "duration_s", "n_units")}
+            for key, data, fmt in zip(pdf[key_col], pdf[bytes_col], pdf[fmt_col]):
+                if data is None:
+                    continue
+                data = bytes(data)
+                if fmt == "flac":
+                    info = flac_streaminfo(data)
+                    row = (info["sample_rate"], info["channels"],
+                           info["duration_s"], info["total_samples"])
+                elif fmt == "mp3":
+                    info = mp3_frame_walk(data)
+                    row = (info["sample_rate"], 0,  # channel mode not walked
+                           info["duration_total_s"], info["n_frames"])
+                elif fmt == "wav":
+                    sr, samples = decode_wav(data)
+                    row = (sr, 1, len(samples) / sr, len(samples))
+                else:
+                    raise NotImplementedError(
+                        f"stream-info parsing for fmt={fmt!r} not supported"
+                    )
+                out["key"].append(key)
+                out["sample_rate"].append(row[0])
+                out["channels"].append(row[1])
+                out["duration_s"].append(row[2])
+                out["n_units"].append(row[3])
+            yield pd.DataFrame(
+                {
+                    "key": out["key"],
+                    "sample_rate": np.array(out["sample_rate"], dtype=np.int32),
+                    "channels": np.array(out["channels"], dtype=np.int32),
+                    "duration_s": np.array(out["duration_s"], dtype=np.float64),
+                    "n_units": np.array(out["n_units"], dtype=np.int64),
+                }
+            )
+
+    return df.select(key_col, bytes_col, fmt_col).mapInPandas(gen, schema)
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, mono float64 samples in int16 range) from a RIFF/WAVE
     PCM payload. Walks the chunk list (LIST/INFO etc. skipped), supports

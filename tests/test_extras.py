@@ -588,6 +588,54 @@ def test_video_frame_ranges_spark(spark):
         video_frame_ranges(bad, n_frames=1).collect()
 
 
+def test_flac_streaminfo_and_mp3_frame_walk(spark):
+    """Round-5 audio container walks: FLAC STREAMINFO fields and MP3 frame
+    byte ranges/durations recovered exactly from hand-built payloads, both
+    locally and through the audio_stream_info Arrow lane."""
+    import struct as st
+
+    from rensa_spark.operators.audio_parse import flac_streaminfo, mp3_frame_walk
+    from rensa_spark.operators.multimodal import audio_stream_info, encode_wav
+
+    # FLAC: fLaC magic + one STREAMINFO block (last=1)
+    sr, channels, bps, total = 22050, 2, 16, 44100 * 3
+    bits = (sr << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+    body = st.pack(">HH", 1024, 1024) + b"\x00" * 6 + bits.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    info = flac_streaminfo(flac)
+    assert info["sample_rate"] == sr and info["channels"] == channels
+    assert info["bits_per_sample"] == bps and info["total_samples"] == total
+    assert abs(info["duration_s"] - total / sr) < 1e-12
+
+    # MP3: ID3v2 tag + 5 MPEG1 Layer III frames @128kbps 44100Hz
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # v1 L3, 128kbps, 44100, no pad
+    frame_len = 144 * 128000 // 44100  # 417
+    frames = b"".join(hdr + b"\x00" * (frame_len - 4) for _ in range(5))
+    mp3 = id3 + frames
+    walk = mp3_frame_walk(mp3)
+    assert walk["n_frames"] == 5 and walk["sample_rate"] == 44100
+    assert list(walk["size"]) == [frame_len] * 5
+    assert list(walk["offset"]) == [len(id3) + i * frame_len for i in range(5)]
+    assert abs(walk["duration_total_s"] - 5 * 1152 / 44100) < 1e-12
+
+    # through the Spark lane, alongside a WAV row
+    wav = encode_wav(8000, np.zeros(1600, dtype=np.int16))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "audio_id": ["f1", "m1", "w1"],
+                "bytes": [flac, mp3, wav],
+                "fmt": ["flac", "mp3", "wav"],
+            }
+        )
+    )
+    got = {r["key"]: r for r in audio_stream_info(df).collect()}
+    assert got["f1"]["sample_rate"] == sr and got["f1"]["n_units"] == total
+    assert got["m1"]["sample_rate"] == 44100 and got["m1"]["n_units"] == 5
+    assert got["w1"]["sample_rate"] == 8000 and abs(got["w1"]["duration_s"] - 0.2) < 1e-9
+
+
 def test_near_dup_pixels_meet_psnr_bound():
     from rensa_spark.sources.synthetic import (
         _near_dup_pixels,
