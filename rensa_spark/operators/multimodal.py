@@ -389,8 +389,10 @@ def video_frame_ranges(
 
     Sampling picks ``n_frames`` midpoint-rule indices over the keyframe
     set (``keyframes_only=True``, the fetch-efficient choice: keyframes
-    decode standalone) or over all samples."""
+    decode standalone) or over all samples. WebM/Matroska files take the
+    EBML block walk (operators/webm_parse) — same output contract."""
     from rensa_spark.operators.mp4_parse import mp4_sample_table
+    from rensa_spark.operators.webm_parse import webm_block_ranges
 
     key_type = df.schema[key_col].dataType.simpleString()
     schema = (
@@ -405,12 +407,15 @@ def video_frame_ranges(
             for key, data, fmt in zip(pdf[key_col], pdf[bytes_col], pdf[fmt_col]):
                 if data is None:
                     continue
-                if fmt != "mp4":
+                if fmt == "mp4":
+                    tab = mp4_sample_table(bytes(data))
+                elif fmt == "webm":
+                    tab = webm_block_ranges(bytes(data))
+                else:
                     raise NotImplementedError(
                         f"sample-table parsing for fmt={fmt!r} not supported "
-                        "(mp4/ISO-BMFF only; webm needs an EBML walk)"
+                        "(mp4/ISO-BMFF and webm/Matroska)"
                     )
-                tab = mp4_sample_table(bytes(data))
                 pool = (
                     np.nonzero(tab["keyframe"])[0]
                     if keyframes_only and tab["keyframe"].any()

@@ -580,12 +580,70 @@ def test_video_frame_ranges_spark(spark):
         assert data[r["offset"] : r["offset"] + r["size"]] == payloads[r["frame_idx"]]
 
     bad = spark.createDataFrame(
-        pd.DataFrame({"video_id": ["v2"], "bytes": [b"xx"], "fmt": ["webm"]})
+        pd.DataFrame({"video_id": ["v2"], "bytes": [b"xx"], "fmt": ["avi"]})
     )
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="webm"):
+    with _pytest.raises(Exception, match="avi"):
         video_frame_ranges(bad, n_frames=1).collect()
+
+
+def _ebml(eid: int, payload: bytes) -> bytes:
+    """EBML element: raw ID bytes + 8-byte-capable size varint + payload."""
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    # encode size in the smallest varint that fits
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            size = ((1 << (7 * ln)) | n).to_bytes(ln, "big")
+            break
+    return id_bytes + size + payload
+
+
+def test_webm_block_ranges(spark):
+    """Round-5 Matroska walk: a hand-built Segment (Info/TimestampScale,
+    Tracks with one video TrackEntry, two Clusters of SimpleBlocks)
+    yields exact payload byte ranges, scaled timestamps and keyframe
+    flags — and byte-range reads return the planted block payloads.
+    Audio-track blocks are excluded."""
+    from rensa_spark.operators.multimodal import video_frame_ranges
+    from rensa_spark.operators.webm_parse import webm_block_ranges
+
+    def simple_block(track: int, rel_ts: int, flags: int, payload: bytes):
+        body = bytes([0x80 | track]) + rel_ts.to_bytes(2, "big", signed=True) \
+            + bytes([flags]) + payload
+        return _ebml(0xA3, body)
+
+    pay = [b"K" * 9, b"d" * 5, b"e" * 7, b"K2" * 4]
+    info = _ebml(0x1549A966, _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big")))
+    video_entry = _ebml(0xAE, _ebml(0xD7, b"\x01") + _ebml(0x83, b"\x01"))
+    audio_entry = _ebml(0xAE, _ebml(0xD7, b"\x02") + _ebml(0x83, b"\x02"))
+    tracks = _ebml(0x1654AE6B, video_entry + audio_entry)
+    cl1 = _ebml(0x1F43B675, _ebml(0xE7, b"\x00")
+                + simple_block(1, 0, 0x80, pay[0])
+                + simple_block(2, 0, 0x80, b"AUDIO")  # must be skipped
+                + simple_block(1, 40, 0x00, pay[1]))
+    cl2 = _ebml(0x1F43B675, _ebml(0xE7, bytes([200]))
+                + simple_block(1, 0, 0x00, pay[2])
+                + simple_block(1, 40, 0x80, pay[3]))
+    data = _ebml(0x18538067, info + tracks + cl1 + cl2)
+
+    tab = webm_block_ranges(data)
+    assert list(tab["size"]) == [len(p) for p in pay]
+    for i, p in enumerate(pay):
+        o, s = int(tab["offset"][i]), int(tab["size"][i])
+        assert data[o : o + s] == p, i
+    assert np.allclose(tab["pts"], [0.0, 0.040, 0.200, 0.240])
+    assert list(tab["keyframe"]) == [True, False, False, True]
+
+    # through the Spark lane: keyframes preferred
+    df = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["w1"], "bytes": [data], "fmt": ["webm"]})
+    )
+    rows = video_frame_ranges(df, n_frames=2).collect()
+    assert len(rows) == 2 and all(r["keyframe"] for r in rows)
+    for r in rows:
+        assert data[r["offset"] : r["offset"] + r["size"]] == pay[r["frame_idx"]]
 
 
 def test_flac_streaminfo_and_mp3_frame_walk(spark):
