@@ -13,8 +13,12 @@ hygiene, Arrow batch shape, UDF signatures — is real and tested. Codecs
   round-trip PSNR > 50 dB at the default quality (north-rule invariant
   is >= 40 dB).
 - WAV (RIFF PCM16, chunk walk) decodes for real on the audio lane.
-- Only the av containers (mp4/webm, mp3/flac) remain behind
-  NotImplementedError — they genuinely require absent native libraries.
+- AV CONTAINERS walk for real (round 5): MP4 sample tables
+  (operators/mp4_parse), Matroska/WebM EBML blocks (operators/webm_parse),
+  FLAC STREAMINFO + MP3 frame headers (operators/audio_parse) — sampled
+  byte ranges, timestamps, durations and rates without decoding. Only the
+  compressed CODEC PAYLOADS (H.26x/VP9/AV1 pixels, MP3/FLAC PCM) remain
+  behind NotImplementedError — those genuinely require absent libraries.
 
 Scale rule (SURVEY.md §7 hard part 6): the dedup hot path never touches
 ``bytes`` — it reads only caption/phash (column pruning keeps the scan
