@@ -381,6 +381,44 @@ def _q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics term ranking (the integer-exact TF-IDF shape):
+    per document, the top-3 tokens ordered by term frequency DESC, then
+    document frequency ASC (rarer wins — the idf signal with NO floats:
+    transcendental ln() rounds differently across engines, while the
+    (tf desc, df asc, term asc) lexicographic rank is bit-free), then
+    token ASC. Scale shape: two aggregations (map-side combined) — tf by
+    (doc, token), df by token over the tf table — one shuffle join keyed
+    by token, a per-doc top-k window. -> (doc_id, rank, term, tf, df)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df-count AND the join
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("tok").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
     5-gram with a held-out benchmark set (here: docs with doc_id % 10 == 0
@@ -863,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stats": _q_events_hourly_stats,
         "user_sessions": _q_user_sessions,
         "repetition_quality": _q_repetition_quality,
+        "top_terms": _q_top_terms,
         "decontamination": _q_decontamination,
         "ivf_topk": _q_ivf_topk,
         "simhash_dup_flags": _q_simhash_dup_flags,
@@ -1042,6 +1081,27 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS top_bigram_frac
             FROM base b LEFT JOIN top t USING (doc_id)
             ORDER BY doc_id
+        """,
+        "top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents),
+            tf AS MATERIALIZED (
+                SELECT doc_id, tok, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, count(*)::BIGINT AS df
+                      FROM tf GROUP BY tok)
+            SELECT doc_id, rank, term, tf, df FROM (
+                SELECT t.doc_id,
+                       row_number() OVER (PARTITION BY t.doc_id
+                                          ORDER BY t.tf DESC, d.df ASC,
+                                                   t.tok ASC) AS rank,
+                       t.tok AS term, t.tf, d.df
+                FROM tf t JOIN dfreq d USING (tok)) x
+            WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         "decontamination": """
             WITH toks AS (
