@@ -35,8 +35,15 @@ _MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
 
 def flac_streaminfo(data: bytes) -> dict:
     """Parse the FLAC STREAMINFO block -> sample_rate, channels,
-    bits_per_sample, total_samples, duration_s."""
-    data = bytes(data)
+    bits_per_sample, total_samples, duration_s. Corrupt input raises
+    ValueError, never raw IndexError/struct.error."""
+    try:
+        return _flac_streaminfo(bytes(data))
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed FLAC stream: {exc}") from exc
+
+
+def _flac_streaminfo(data: bytes) -> dict:
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (missing fLaC magic)")
     pos = 4
@@ -73,8 +80,15 @@ def flac_streaminfo(data: bytes) -> dict:
 def mp3_frame_walk(data: bytes, max_frames: int | None = None) -> dict:
     """Walk MPEG Layer III frames -> per-frame (offset, size, duration_s)
     arrays + totals. Skips a leading ID3v2 tag; stops at the first
-    non-frame byte (tag padding / truncation), like real scanners."""
-    data = bytes(data)
+    non-frame byte (tag padding / truncation), like real scanners.
+    Corrupt input raises ValueError, never raw IndexError."""
+    try:
+        return _mp3_frame_walk(bytes(data), max_frames)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed MP3 stream: {exc}") from exc
+
+
+def _mp3_frame_walk(data: bytes, max_frames: int | None = None) -> dict:
     pos = 0
     if data[:3] == b"ID3" and len(data) >= 10:
         sz = data[6:10]

@@ -335,7 +335,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB.
 
     Supports what encode_jpeg emits (and any baseline 4:4:4 stream):
-    SOF0, 8-bit, 1x1 sampling, Huffman coding, no restart intervals."""
+    SOF0, 8-bit, 1x1 sampling, Huffman coding, no restart intervals.
+    Corrupt input raises ValueError (typed), never raw
+    IndexError/KeyError/struct.error from decoder internals."""
+    try:
+        return _decode_jpeg(bytes(data))
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -98,8 +98,17 @@ def mp4_sample_table(data: bytes) -> dict:
       ``offset`` (byte offset in the file), ``size`` (bytes),
       ``pts`` (seconds, float64, decode-time based), ``keyframe`` (bool),
     plus ``timescale`` (int).
-    """
-    data = bytes(data)
+
+    Corrupt input raises ValueError (typed, message-bearing) — at corpus
+    scale malformed payloads are routine and must never surface as raw
+    IndexError/struct.error from parser internals."""
+    try:
+        return _mp4_sample_table(bytes(data))
+    except (IndexError, struct.error, ZeroDivisionError) as exc:
+        raise ValueError(f"malformed MP4: {exc}") from exc
+
+
+def _mp4_sample_table(data: bytes) -> dict:
     stbl_s, stbl_e, timescale = _video_stbl(data)
     boxes = {t: (ps, pe) for t, ps, pe in _walk(data, stbl_s, stbl_e)}
 

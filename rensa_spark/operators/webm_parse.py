@@ -70,8 +70,15 @@ def _uint(data: bytes, ps: int, pe: int) -> int:
 def webm_block_ranges(data: bytes) -> dict:
     """Walk the first video track's SimpleBlocks -> numpy arrays
     ``offset`` (payload byte offset), ``size``, ``pts`` (seconds) and
-    ``keyframe``, plus ``timescale_ns``."""
-    data = bytes(data)
+    ``keyframe``, plus ``timescale_ns``. Corrupt input raises ValueError
+    (never raw IndexError from parser internals)."""
+    try:
+        return _webm_block_ranges(bytes(data))
+    except IndexError as exc:
+        raise ValueError(f"malformed Matroska stream: {exc}") from exc
+
+
+def _webm_block_ranges(data: bytes) -> dict:
     seg = None
     for eid, ps, pe in _walk(data, 0, len(data)):
         if eid == _SEGMENT:

@@ -694,6 +694,50 @@ def test_flac_streaminfo_and_mp3_frame_walk(spark):
     assert got["w1"]["sample_rate"] == 8000 and abs(got["w1"]["duration_s"] - 0.2) < 1e-9
 
 
+def test_container_parsers_fail_typed_on_garbage():
+    """Corrupt payloads are routine at corpus scale: every container
+    parser must raise ValueError/NotImplementedError with a message —
+    never a raw IndexError/struct.error/KeyError — on random garbage,
+    random truncations of VALID files, and single-byte corruptions."""
+    from rensa_spark.operators.audio_parse import flac_streaminfo, mp3_frame_walk
+    from rensa_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from rensa_spark.operators.mp4_parse import mp4_sample_table
+    from rensa_spark.operators.webm_parse import webm_block_ranges
+
+    rng = np.random.default_rng(99)
+    valid_mp4 = _build_test_mp4(
+        [b"x" * 9, b"y" * 5], [100, 100], sync=[0]
+    )
+    valid_jpeg = encode_jpeg(np.full((8, 8, 3), 40, dtype=np.uint8))
+    parsers = [
+        (mp4_sample_table, valid_mp4),
+        (decode_jpeg, valid_jpeg),
+        (webm_block_ranges, b"\x18\x53\x80\x67\x81\x00"),
+        (flac_streaminfo, b"fLaC" + bytes([0x80, 0, 0, 34]) + b"\x00" * 34),
+        (mp3_frame_walk, b"\xff\xfb\x90\x00" + b"\x00" * 500),
+    ]
+    for fn, valid in parsers:
+        for _ in range(40):  # random garbage
+            blob = bytes(rng.integers(0, 256, size=int(rng.integers(0, 200)),
+                                      dtype=np.uint8))
+            try:
+                fn(blob)
+            except (ValueError, NotImplementedError):
+                pass  # typed, expected
+        for _ in range(40):  # truncations + single-byte corruptions
+            cut = int(rng.integers(0, len(valid)))
+            try:
+                fn(valid[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+            mutated = bytearray(valid)
+            mutated[int(rng.integers(0, len(valid)))] ^= 0xFF
+            try:
+                fn(bytes(mutated))
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_near_dup_pixels_meet_psnr_bound():
     from rensa_spark.sources.synthetic import (
         _near_dup_pixels,
