@@ -221,3 +221,52 @@ def test_oracle_generators_reject_nondefault_configs():
         D.rho_dup_flags_sql(
             RensaConfig(num_perm=128, num_bands=8, rho_recall_rescue_enabled=False)
         )
+
+
+def _xxh64_long_py(v: int, seed: int = 42) -> int:
+    """Scalar XXH64 of one little-endian u64 (the published single-lane
+    fast path; Spark's xxhash64 on a LongType column computes exactly
+    this with default seed 42). Signed-int64 output like Spark."""
+    mask = (1 << 64) - 1
+    p1, p2 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F
+    p3, p4, p5 = 0x165667B19E3779F9, 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & mask
+
+    h = (seed + p5 + 8) & mask
+    h ^= rotl(((v & mask) * p2) & mask, 31) * p1 & mask
+    h = (rotl(h, 27) * p1 + p4) & mask
+    h ^= h >> 33
+    h = (h * p2) & mask
+    h ^= h >> 29
+    h = (h * p3) & mask
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_sql_xxhash64_long_matches_reference(con):
+    """duck_sql.xxhash64_long_ctes (the IVF training-sample order rule)
+    against the scalar XXH64 reference, including the sign-edge longs.
+    The Spark side of the chain is pinned transitively: the ivf_topk
+    driver lane hash-verifies the full sample ordering against
+    F.xxhash64 at every selfcheck."""
+    vals = [0, 1, -1, 42, (1 << 63) - 1, -(1 << 63), 123456789, -77, 985743821]
+
+    def lit(v: int) -> str:
+        # SQL has no negative literals: -(2^63) parses as unary minus over
+        # an out-of-int64 constant — spell LONG_MIN arithmetically
+        return f"({v}::BIGINT)" if v != -(1 << 63) else "((-9223372036854775807 - 1)::BIGINT)"
+
+    con.execute(
+        "CREATE OR REPLACE TABLE xxt AS SELECT * FROM (VALUES "
+        + ",".join(lit(v) for v in vals)
+        + ") _(vid)"
+    )
+    sql = (
+        f"WITH {D.xxhash64_long_ctes('xxt', 'vid')} "
+        "SELECT vid, xxh FROM xxh ORDER BY vid"
+    )
+    got = dict(con.execute(sql).fetchall())
+    for v in vals:
+        assert got[v] == _xxh64_long_py(v), v

@@ -88,3 +88,27 @@ def test_shingle_fuzz_unicode(texts, ngram):
             shingles = [" ".join(tokens[j : j + ngram]) for j in range(len(tokens) - ngram + 1)]
         want = [oracle.fxhash64_py(s) for s in shingles]
         assert flat[offs[i] : offs[i + 1]].tolist() == want, (i, t)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_property(w, h, seed):
+    """Property: any blockwise-smooth RGB image of any (odd) size
+    round-trips through the baseline JPEG codec at the default quality
+    above the north rule's 40 dB PSNR invariant, with exact shape
+    preservation (edge blocks are replicate-padded then cropped)."""
+    import numpy as np
+
+    from rensa_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from rensa_spark.sources.synthetic import psnr
+
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 256, size=((h + 7) // 8, (w + 7) // 8, 3))
+    px = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1)[:h, :w].astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(px))
+    assert dec.shape == px.shape
+    assert psnr(px, dec) >= 40.0
