@@ -174,6 +174,46 @@ def rminhash_bands_udf(
     return _udf
 
 
+SIG_BANDS_SCHEMA = StructType(
+    [
+        StructField("sig", ArrayType(IntegerType())),
+        StructField("bands", ArrayType(LongType())),
+    ]
+)
+
+
+def rminhash_sig_bands_udf(
+    cfg: RensaConfig,
+    fold: int = 1,
+    from_hashes: bool = False,
+    from_bytes: bool = False,
+):
+    """Fused text -> struct(sig, bands): ONE shingle+MinHash pass feeding
+    both the signature and its band hashes (round 6 — the separate
+    rminhash_sig_udf + rminhash_bands_udf pair recomputed the full
+    shingle+min-fold twice for every clusters/pairs lane; band hashing is
+    a pure function of the signature, so fusing is bit-identical)."""
+    a, b = None, None
+    kind = "hashes" if from_hashes else ("bytes" if from_bytes else "text")
+
+    @pandas_udf(SIG_BANDS_SCHEMA)
+    def _udf(col: pd.Series) -> pd.DataFrame:
+        nonlocal a, b
+        if a is None:
+            a, b = _perms(cfg.num_perm, cfg.seed)
+        flat, offsets = _flat_for(col, cfg, kind)
+        sig = rminhash_matrix(flat, offsets, a, b)
+        bands = _band_hash_matrix(sig, cfg.num_bands, fold)
+        return pd.DataFrame(
+            {
+                "sig": list(sig.view(np.int32)),
+                "bands": list(bands.view(np.int64)),
+            }
+        )
+
+    return _udf
+
+
 def band_hashes_udf(cfg: RensaConfig, fold: int = 1):
     """array<int> signature -> array<bigint> effective band hashes
     (digest_band_hashes, src/lsh/index.rs:73-81)."""

@@ -20,7 +20,6 @@ from rensa_spark.functions.udfs import (
     jaccard_udf,
     rho_sketch_udf,
     rminhash_bands_udf,
-    rminhash_sig_udf,
 )
 from rensa_spark.operators.cc import connected_components, survivors
 from rensa_spark.operators.lsh import candidate_pairs
@@ -30,13 +29,22 @@ def sketch_rminhash(
     df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str, with_sig: bool = True
 ) -> DataFrame:
     """Add `sig` (and `bands`) columns. Hot path: only `bands` when the
-    signature itself is not needed downstream (flags-only pipelines)."""
-    bands = rminhash_bands_udf(cfg)
-    out = df.withColumn("bands", bands(F.col(text_col)))
+    signature itself is not needed downstream (flags-only pipelines).
+    With the signature, ONE fused UDF computes both (round 6): the former
+    separate sig/bands UDFs each re-ran the full shingle+MinHash pass —
+    banding is a pure function of the signature, so fusing is bit-equal."""
     if with_sig:
-        sig = rminhash_sig_udf(cfg)
-        out = out.withColumn("sig", sig(F.col(text_col)))
-    return out
+        from rensa_spark.functions.udfs import rminhash_sig_bands_udf
+
+        sb = rminhash_sig_bands_udf(cfg)
+        return (
+            df.withColumn("_sb", sb(F.col(text_col)))
+            .withColumn("bands", F.col("_sb.bands"))
+            .withColumn("sig", F.col("_sb.sig"))
+            .drop("_sb")
+        )
+    bands = rminhash_bands_udf(cfg)
+    return df.withColumn("bands", bands(F.col(text_col)))
 
 
 def sketch_rho(df: DataFrame, cfg: RensaConfig, key_col: str, text_col: str) -> DataFrame:
@@ -130,9 +138,20 @@ def dedup_edges(
     O(cluster^2) pair expansion runs only over representatives. Exactly
     component-preserving; on dup-heavy corpora this removes the quadratic
     blowup of exact-duplicate clusters (measured 7.6M -> ~100k verified
-    pairs on the 200k benchmark corpus)."""
-    reps = sketched.groupBy("sig").agg(F.min("key").alias("rep"))
-    with_rep = sketched.join(reps, "sig")
+    pairs on the 200k benchmark corpus).
+
+    The representative rides in via ONE window over the sig partitioning
+    (round 6): the former groupBy(sig) + join-back-on-sig shuffled the
+    128-slot signature twice; min-over-partition needs a single exchange.
+    The lazy checkpoint feeds both consumers (trivial edges + rep rows)
+    without re-running the shuffle."""
+    from pyspark.sql import Window
+
+    with_rep = (
+        sketched.select("key", "sig", "bands")
+        .withColumn("rep", F.min("key").over(Window.partitionBy("sig")))
+        .localCheckpoint(eager=False)
+    )
     trivial = with_rep.filter(F.col("key") != F.col("rep")).select(
         F.col("rep").alias("a"), F.col("key").alias("b")
     )
@@ -149,18 +168,15 @@ def dedup_clusters(
     """(key, cluster_id, is_survivor) — verified-pair connected components
     with min-key survivor selection.
 
-    The sketch persist is SCOPED: connected_components eagerly checkpoints
-    the edge set (its round loop requires it), which fully consumes the
-    sketch lineage — so the cache is released before returning instead of
-    pinning blocks for the session (round-2 verdict ask #7). The survivor
-    pass reads only the key column from the source again (pruned scan)."""
+    No sketch persist any more (round 6): dedup_edges consumes the sketch
+    lineage exactly ONCE (its identical-sig window is lazily checkpointed
+    and feeds every downstream branch), so caching the sketch only added a
+    memory-pinning write. The survivor pass reads only the key column from
+    the source again (pruned scan)."""
     base = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text"))
-    sk = sketch_rminhash(base, cfg, "key", "text").persist()
-    try:
-        edges = dedup_edges(sk, cfg)
-        clusters = connected_components(edges)  # eager: materializes edges
-    finally:
-        sk.unpersist()
+    sk = sketch_rminhash(base, cfg, "key", "text")
+    edges = dedup_edges(sk, cfg)
+    clusters = connected_components(edges)  # eager: materializes edges
     return survivors(clusters, base.select("key"))
 
 
@@ -183,12 +199,11 @@ def multimodal_dedup_clusters(
         F.col(caption_col).alias("text"),
         F.col(phash_col).alias("phash"),
     )
-    sk = sketch_rminhash(base, cfg, "key", "text").persist()
-    try:
-        edges = multimodal_dedup_edges(df, cfg, key_col, caption_col, phash_col, _sk=sk)
-        clusters = connected_components(edges)  # eager: materializes edges
-    finally:
-        sk.unpersist()  # scoped cache — CC consumed the sketch lineage
+    # no persist (round 6): dedup_edges consumes the sketch exactly once
+    # via its checkpointed identical-sig window
+    sk = sketch_rminhash(base, cfg, "key", "text")
+    edges = multimodal_dedup_edges(df, cfg, key_col, caption_col, phash_col, _sk=sk)
+    clusters = connected_components(edges)  # eager: materializes edges
     return survivors(clusters, base.select("key"))
 
 
@@ -251,7 +266,14 @@ def add_if_unique(
         F.col(order_col).alias("ord"),
         F.col(text_col).alias("text"),
     )
-    sk = sketch_rminhash(base, cfg, "key", "text")
+    # the fused sketch is consumed up to 4x by verified_pairs (band rows,
+    # mid-path sort keys, both signature join sides) — checkpoint it once
+    # (round 6: each consumer used to re-run the shingle+MinHash UDFs)
+    sk = (
+        sketch_rminhash(base, cfg, "key", "text")
+        .select("key", "sig", "bands")
+        .localCheckpoint(eager=False)
+    )
     if use_lsh:
         pairs = verified_pairs(sk, cfg)  # a < b by key; re-orient by ord
     else:

@@ -64,20 +64,45 @@ def test_flagship_plan_prunes_bytes_and_single_crossing(image_table):
 def test_ann_bucket_join_no_udf_duplication(spark, image_table):
     """bucketed_topk_join: exactly one bucket-UDF evaluation per side (the
     nullable-join-key isnotnull pushdown used to duplicate the corpus-side
-    UDF; guarded by the coalesce fix in similarity.py). Since the round-5
-    collapse/sub-split change the corpus side sits behind a lazy
-    localCheckpoint (its UDF runs ONCE to materialize the collapsed
-    corpus), so the served plan shows only the query-side UDF node."""
+    UDF; guarded by the coalesce fix in similarity.py). Since round 6 BOTH
+    sides' bucket projections feed a localCheckpoint directly (shared or
+    not), so the served plan shows each side as one ExistingRDD scan and
+    NO ArrowEvalPython node at all — the UDF runs exactly once per side
+    inside its checkpoint lineage, and the old pushdown-duplication shape
+    is structurally impossible. broadcast_max_rows=0 forces the cogroup
+    path so the plan under test is the scale plan, not the round-6
+    small-input bypass."""
+    from rensa_spark.operators.similarity import bucketed_topk_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_q = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _formatted_plan(
+        bucketed_topk_join(
+            emb, "vec_id", "embedding", emb_q, "vec_id", "embedding",
+            k=3, n_planes=4, dim=64, broadcast_max_rows=0,
+        )
+    )
+    assert len(re.findall(r"\) ArrowEvalPython", plan)) == 0
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 2
+
+
+def test_ann_bucket_join_self_join_single_crossing(spark):
+    """Round 6: the self-join form (every row a query) computes the
+    quantize+bucket projection ONCE — by the time the plan is served, both
+    cogroup sides read the single materialized side checkpoint, so the
+    served plan contains ZERO Python-UDF nodes besides the cogroup itself
+    (one scan + one Arrow crossing total, shared by both sides)."""
     from rensa_spark.operators.similarity import bucketed_topk_join
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _formatted_plan(
         bucketed_topk_join(
             emb, "vec_id", "embedding", emb, "vec_id", "embedding",
-            k=3, n_planes=4, dim=64,
+            k=3, n_planes=4, dim=64, broadcast_max_rows=0,
         )
     )
-    assert len(re.findall(r"\) ArrowEvalPython", plan)) == 1
+    assert len(re.findall(r"\) ArrowEvalPython", plan)) == 0
+    assert len(re.findall(r"\) FlatMapCoGroupsInPandas", plan)) == 1
 
 
 def test_ann_bucket_join_scores_in_cogroup_not_per_pair(spark):
@@ -93,7 +118,7 @@ def test_ann_bucket_join_scores_in_cogroup_not_per_pair(spark):
     plan = _formatted_plan(
         bucketed_topk_join(
             emb, "vec_id", "embedding", emb, "vec_id", "embedding",
-            k=3, n_planes=4, dim=64,
+            k=3, n_planes=4, dim=64, broadcast_max_rows=0,
         )
     )
     assert len(re.findall(r"\) FlatMapCoGroupsInPandas", plan)) == 1
