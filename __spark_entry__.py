@@ -31,6 +31,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive input spreading (round 6, guide §2.5/§6): the oracle
+    SFs are ONE parquet split, which pinned every heavy per-row stage
+    (shingle+sketch UDFs, gram/token JVM string work) on a single core —
+    the profiled ngram lane spent its whole gram pass in a 1-task stage.
+    When the scan has fewer partitions than the default parallelism, one
+    cheap round-robin exchange of the (tiny) input fans the work out; at
+    production scale the scan already has >= cores splits and this is a
+    no-op (no repartition node at all). Results are partitioning-
+    independent (every lane is value-hash-verified against its oracle)."""
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark, _docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one-shot duplicate flags (benchmark semantics,
     /root/reference/src/lsh/one_shot.rs:294-332) over sf0.001 documents."""
@@ -60,7 +78,7 @@ def _q_minhash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rensa_spark.operators.dedup import dup_flags
 
     return (
-        dup_flags(_docs(spark, sf_dir), CFG, "doc_id", "text")
+        dup_flags(_docs_spread(spark, sf_dir), CFG, "doc_id", "text")
         .select(F.col("key").alias("doc_id"), F.col("is_dup"))
         .orderBy("doc_id")
     )
@@ -73,7 +91,7 @@ def _q_minhash_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = rminhash_sig_udf(CFG)
     return (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .select(F.col("doc_id"), sig(F.col("text")).alias("sig"))
         .select(
             "doc_id",
@@ -142,7 +160,7 @@ def _q_rho_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rensa_spark.operators.dedup import sketch_rho
 
     return (
-        sketch_rho(_docs(spark, sf_dir), CFG, "doc_id", "text")
+        sketch_rho(_docs_spread(spark, sf_dir), CFG, "doc_id", "text")
         .select(
             "doc_id",
             F.col("token_count").cast("long").alias("shingle_count"),
@@ -160,7 +178,7 @@ def _q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = shingle_hashes_udf(CFG)
     return (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .select(
             "doc_id",
             F.size(sh(F.col("text"))).cast("long").alias("n_shingles"),
@@ -216,7 +234,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rensa_spark.operators.textops import langid
 
     return (
-        langid(_docs(spark, sf_dir).select("doc_id", "text"), "text")
+        langid(_docs_spread(spark, sf_dir).select("doc_id", "text"), "text")
         .select("doc_id", "lang_pred")
         .orderBy("doc_id")
     )
@@ -293,13 +311,16 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams; only (id, id, count) rows shuffle. The oracle mirrors the same
     definition exactly."""
     docs = _grams_df(_docs(spark, sf_dir).select("doc_id", "text"))
-    # exploded feeds two consumers (df counts + blocking) and blocked feeds
-    # three (sizes + both join sides): materialize each ONCE via eager
-    # localCheckpoint — unlike persist() the blocks are reclaimed by the
-    # ContextCleaner when the DataFrames drop out of scope, so repeated
-    # invocations don't accumulate pinned cache (round-2 verdict ask #7)
-    exploded = docs.select("doc_id", F.explode("gs").alias("g")).localCheckpoint(
-        eager=True
+    # round 6 (profiled at sf0.1): explode() INLINE over the computed gram
+    # arrays cost 3.1s vs 0.12s over a materialized array column — the
+    # Generate node re-evaluates its expensive child instead of iterating
+    # a stored array (the Catalyst-lambda no-CSE trap, PLANS.md). So the
+    # gram ARRAYS are checkpointed once (eager; blocks reclaimed by the
+    # ContextCleaner — round-2 verdict ask #7) and both explode consumers
+    # (df counts + blocking) iterate the stored arrays for ~0.1s each,
+    # replacing the former 260k-row exploded checkpoint outright.
+    exploded = docs.localCheckpoint(eager=True).select(
+        "doc_id", F.explode("gs").alias("g")
     )
     rare = (
         exploded.groupBy("g")
@@ -392,6 +413,9 @@ def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     by token, a per-doc top-k window. -> (doc_id, rank, term, tf, df)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    # (round 6: A/B-measured — the explode-barrier/spread treatments that
+    # win on the gram lanes LOSE here; the split/filter child is cheap
+    # enough that the r5 inline form is fastest, 1.03s vs 1.26s)
     tf = (
         docs.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -433,6 +457,10 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded "benchmark" must drop the hint and let AQE pick the join."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    # (round 6: A/B-measured — the checkpoint-before-explode/spread
+    # treatments that win on the ngram lane LOSE here, 1.09s r5 form vs
+    # 1.73s treated; the 5-gram child is evaluated over a corpus slice
+    # small enough that barrier overhead dominates)
     grams = (
         docs.select("doc_id", toks.alias("toks"))
         .select(
@@ -513,7 +541,7 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rensa_spark.operators.similarity import simhash_near_pairs
 
     return simhash_near_pairs(
-        _docs(spark, sf_dir), CFG, "doc_id", "text", n_chunks=4, max_hamming=3
+        _docs_spread(spark, sf_dir), CFG, "doc_id", "text", n_chunks=4, max_hamming=3
     ).orderBy("a", "b")
 
 
@@ -551,7 +579,7 @@ def _q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rensa_spark.operators.dedup import dedup_clusters
 
     return (
-        dedup_clusters(_docs(spark, sf_dir), CFG, "doc_id", "text")
+        dedup_clusters(_docs_spread(spark, sf_dir), CFG, "doc_id", "text")
         .select(
             F.col("key").alias("doc_id"),
             F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -602,7 +630,7 @@ def _q_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-phash ∪ verified caption-MinHash pairs -> connected components."""
     from rensa_spark.operators.dedup import multimodal_dedup_clusters
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_spread(spark, sf_dir).select(
         "doc_id",
         F.col("text").alias("caption"),
         F.when(
@@ -815,7 +843,7 @@ def _q_pipeline_filtered_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     from rensa_spark.operators.dedup import dedup_clusters
     from rensa_spark.operators.textops import langid, token_count
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     filtered = (
         langid(docs, "text")
         .filter((F.col("lang_pred") == "en") & (token_count("text") >= 5))

@@ -91,7 +91,12 @@ def substring_overlap_pairs(
     bucket (collision-proof); candidates whose buckets exceed
     ``hot_bucket_cap`` are star-reduced like the LSH path (component-
     preserving)."""
-    wh = window_hashes(df, key_col, text_col, window, stride)
+    # the window-hash UDF feeds two consumers (bucket sizes + the sized
+    # join) — checkpoint it once so the mapInPandas pass runs once
+    # (round 6; lazy: blocks reclaimed when the result drops out of scope)
+    wh = window_hashes(df, key_col, text_col, window, stride).localCheckpoint(
+        eager=False
+    )
     sizes = wh.groupBy("whash").agg(F.count(F.lit(1)).alias("n"))
     sized = wh.join(sizes.filter(F.col("n") >= 2), "whash")
 
