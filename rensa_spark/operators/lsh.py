@@ -192,17 +192,24 @@ def one_shot_dup_flags_rho(
         F.count(F.lit(1)).alias("bucket_size"),
         F.sum(F.col("is_sparse").cast("int")).alias("sparse_cnt"),
     )
+    # ONE shared sized-bucket join (round 6): every downstream branch only
+    # cares about buckets with >= 2 members, so band rows meet the bucket
+    # stats once — the three branches (non-sparse matches, candidate
+    # window, sparse pair join) reference the identical join subtree and
+    # ReuseExchange serves them from the same two shuffles, where the
+    # round-5 shape re-shuffled the band rows per branch through separate
+    # leftsemi joins. The join output is hash-partitioned by
+    # (band_idx, band_hash), which the candidate window below reuses
+    # without its own exchange.
+    sized = bands.join(
+        stats.filter(F.col("bucket_size") >= 2), ["band_idx", "band_hash"]
+    )
 
     # non-sparse members: any >=2 bucket counts as a band match
     # (their verify always passes: the other side's signature is checked only
     #  when one side is sparse, and a missing signature passes).
     ns_matches = (
-        bands.filter(~F.col("is_sparse"))
-        .join(
-            stats.filter(F.col("bucket_size") >= 2).select("band_idx", "band_hash"),
-            ["band_idx", "band_hash"],
-            "leftsemi",
-        )
+        sized.filter(~F.col("is_sparse"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("matches"))
     )
@@ -218,10 +225,7 @@ def one_shot_dup_flags_rho(
     # candidates, so bool_or is exact.
     if sv_enabled:
         cap = cfg.rho_sparse_verify_max_candidates
-        sparse_buckets = stats.filter(
-            (F.col("bucket_size") >= 2) & (F.col("sparse_cnt") >= 1)
-        ).select("band_idx", "band_hash")
-        members = bands.join(sparse_buckets, ["band_idx", "band_hash"], "leftsemi")
+        members = sized.filter(F.col("sparse_cnt") >= 1)
         # Only the candidate side needs row order: the rn <= cap+1 filter
         # right above the row_number turns the window into a
         # WindowGroupLimit (per-bucket top-k heap), so a degenerate hot
@@ -245,8 +249,14 @@ def one_shot_dup_flags_rho(
             F.col("sparse_sig"), F.col("cand_sig"), cfg.rho_sparse_verify_threshold
         )
         nonself = F.col("cand_key") != F.col("key")
+        # the left side is members.filter(is_sparse): a bucket holding a
+        # sparse row has sparse_cnt >= 1 by construction, and first_k only
+        # contains >=2-member buckets, so this equals the former
+        # bands.filter(is_sparse) inner join exactly — but reads the shared
+        # sized subtree (reused exchanges) instead of re-shuffling bands
         sp_matches = (
-            bands.filter(F.col("is_sparse"))
+            members.filter(F.col("is_sparse"))
+            .select("band_idx", "band_hash", "key", "sparse_sig")
             .join(first_k, ["band_idx", "band_hash"])
             .groupBy("key", "band_idx", "band_hash")
             .agg(
@@ -267,12 +277,7 @@ def one_shot_dup_flags_rho(
     else:
         # verify disabled: sparse members match like non-sparse ones
         sp_matches = (
-            bands.filter(F.col("is_sparse"))
-            .join(
-                stats.filter(F.col("bucket_size") >= 2).select("band_idx", "band_hash"),
-                ["band_idx", "band_hash"],
-                "leftsemi",
-            )
+            sized.filter(F.col("is_sparse"))
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("matches"))
         )
@@ -290,13 +295,28 @@ def one_shot_dup_flags_rho(
 
     rescue_enabled = cfg.rho_recall_rescue_enabled and fold > 1
     if rescue_enabled:
-        rescue_cand = flags.filter(
+        # ADAPTIVE rescue (round 6): the flags table is checkpointed once
+        # — it feeds the rescue-candidate filter AND the final output, and
+        # without the barrier the whole refined-match flow above would be
+        # planned (and its non-reused stages run) twice. A one-row count
+        # then decides whether anyone is actually rescue-eligible: a
+        # corpus with zero eligible rows (e.g. the all-sparse benchmark
+        # shape — rescue only applies to NON-sparse rows with zero folded
+        # matches) skips the unfolded-band posexplode + hot-bucket
+        # aggregate + two joins outright. AQE cannot make that cut: the
+        # rescue subtree's independent stages are materialized eagerly
+        # before empty-relation propagation could prove them pointless.
+        flags = flags.localCheckpoint(eager=False)
+        rescue_cond = (
             (F.col("matches") == 0)
             & (F.col("required") == 1)
             & F.col("token_count").between(
                 cfg.rho_recall_rescue_min_tokens, cfg.rho_recall_rescue_max_tokens
             )
-        ).select("key")
+        )
+        rescue_enabled = flags.filter(rescue_cond).limit(1).count() > 0
+    if rescue_enabled:
+        rescue_cand = flags.filter(rescue_cond).select("key")
         rbands = base.select("key", F.posexplode("rescue_bands").alias("band_idx", "band_hash"))
         rhot = (
             rbands.groupBy("band_idx", "band_hash")
