@@ -243,6 +243,7 @@ def add_if_unique(
     max_rounds: int = 30,
     use_lsh: bool = True,
     brute_force_max_rows: int = 100_000,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Batch emulation of RMinHashDeduplicator.add_pairs with use_lsh=True
     (src/inline_dedup/rminhash.rs:233-299): process rows in ``order_col``
@@ -258,8 +259,22 @@ def add_if_unique(
     decided-kept iff none of them was kept. Duplicate chains are short
     (SURVEY.md §7 hard part 2), so rounds ~= chain length.
 
+    Round 6: when the verified conflict-edge set is small
+    (``driver_max_edges``, env RENSA_AIU_DRIVER_MAX_EDGES, default
+    200_000 — a few MB collected), the greedy recursion kept(v) =
+    not any(kept(u) for u -> v) is evaluated directly on the driver in
+    topological order and broadcast-joined back: the edge set is already
+    materialized (and counted) for the frontier loop, so the small case
+    replaces rounds of checkpoint+count jobs with one tiny collect. The
+    frontier loop remains the scale path, bit-equal by construction
+    (pinned by test_add_if_unique_driver_greedy_matches_loop).
+
     Returns (key, kept boolean).
     """
+    import os
+
+    if driver_max_edges is None:
+        driver_max_edges = int(os.environ.get("RENSA_AIU_DRIVER_MAX_EDGES", "200000"))
     order_col = order_col or key_col
     base = df.select(
         F.col(key_col).alias("key"),
@@ -309,6 +324,53 @@ def add_if_unique(
             F.when(F.col("ord_a") <= F.col("ord_b"), F.col("b")).otherwise(F.col("a")).alias("late"),
         )
     ).localCheckpoint(eager=True)
+
+    if edges.count() <= driver_max_edges:
+        from collections import defaultdict, deque
+
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        preds: dict = defaultdict(list)
+        succs: dict = defaultdict(list)
+        indeg: dict = defaultdict(int)
+        nodes = set()
+        for r in edges.collect():
+            e, l = r["early"], r["late"]
+            preds[l].append(e)
+            succs[e].append(l)
+            indeg[l] += 1
+            nodes.add(e)
+            nodes.add(l)
+        kept: dict = {}
+        dq = deque(sorted(n for n in nodes if indeg[n] == 0))
+        seen = 0
+        while dq:
+            v = dq.popleft()
+            seen += 1
+            kept[v] = not any(kept[u] for u in preds[v])
+            for w in succs[v]:
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    dq.append(w)
+        if seen == len(nodes):  # acyclic (always, by ord orientation)
+            spark = df.sparkSession
+            key_field = base.select("key").schema.fields[0]
+            decided = spark.createDataFrame(
+                [(k, bool(v)) for k, v in kept.items()],
+                StructType(
+                    [
+                        StructField("key", key_field.dataType),
+                        StructField("kept_d", BooleanType()),
+                    ]
+                ),
+            )
+            return (
+                base.select("key")
+                .join(F.broadcast(decided), "key", "left")
+                .select("key", F.coalesce("kept_d", F.lit(True)).alias("kept"))
+            )
+        # a cycle can only mean corrupted input ordering — fall through to
+        # the frontier loop, which raises after max_rounds
 
     # ONE fused state table (key, kept: true/false/null=undecided), ONE
     # localCheckpoint + ONE count per round (round-3: the separate

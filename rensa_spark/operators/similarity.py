@@ -520,14 +520,14 @@ def bucketed_topk_join(
     corpus = corpus.drop("n_in_bucket")
     qside = qside.drop("n_in_bucket")
     # Scoring runs per (bucket, sub) GROUP as one numpy matmul with an
-    # in-group partial top-k (cogrouped applyInPandas) — NEVER per
-    # candidate row: materializing the equi-join and evaluating the cosine
-    # expression per pair measured ~3 us/row (the 64-getItem unroll and
-    # the HOF lambda both evaluate outside any fast path at this
-    # expression size), i.e. 20s for a 5.8M-candidate degenerate lane,
-    # whereas the group matmul is BLAS and only min(k, nc) rows per
-    # (query, probe) ever leave the group — the exchange after carries
-    # <= probes*k rows per query instead of the full candidate set.
+    # in-group partial top-k — NEVER per candidate row: materializing the
+    # equi-join and evaluating the cosine expression per pair measured
+    # ~3 us/row (the 64-getItem unroll and the HOF lambda both evaluate
+    # outside any fast path at this expression size), i.e. 20s for a
+    # 5.8M-candidate degenerate lane, whereas the group matmul is BLAS and
+    # only min(k, nc) rows per (query, probe) ever leave the group — the
+    # exchange after carries <= probes*k rows per query instead of the
+    # full candidate set.
     # Exactness: the int64 dot is exact, and score = dot / (sqrt(qn2) *
     # sqrt(nn2)) is three correctly-rounded float64 ops — bit-identical in
     # numpy, the JVM, and the DuckDB oracle (the round-3 fixed-point ANN
@@ -538,58 +538,139 @@ def bucketed_topk_join(
     qid_type = queries_df.schema[qid_col].dataType.simpleString()
     id_type = df.schema[id_col].dataType.simpleString()
 
-    def group_topk(qpdf, cpdf):
+    # Round 6: the cogrouped applyInPandas paid a per-GROUP toll (each
+    # (bucket, sub) group is its own Arrow batch + Python call + result
+    # assembly — a cogroup over the 3.6k-group hot benchmark measured
+    # ~4-7s with a TRIVIAL function, i.e. pure machinery). Same per-group
+    # math, different transport: both sides union into one table tagged
+    # is_q, ONE hash repartition on the group keys + a partition-local
+    # sort makes every group a contiguous run, and a mapInPandas segment
+    # scan walks the runs — Python is invoked once per Arrow batch, not
+    # once per group, and a group split across batch boundaries is carried
+    # forward, so peak memory stays one (bounded) group + one batch.
+    # typed dummies (not NULLs) for the opposite side's id: a long column
+    # holding nulls round-trips Arrow->pandas as float64, which would
+    # corrupt 64-bit ids past 2^53
+    qrows = qside.select(
+        *group_keys,
+        F.lit(True).alias("is_q"),
+        F.col("qid"),
+        F.lit(0).cast(id_type).alias("neighbor_id"),
+        F.col("qvec").alias("vec"),
+    )
+    crows = corpus.select(
+        *group_keys,
+        F.lit(False).alias("is_q"),
+        F.lit(0).cast(qid_type).alias("qid"),
+        F.col("neighbor_id"),
+        F.col("nvec").alias("vec"),
+    )
+    tagged = (
+        qrows.unionByName(crows)
+        .repartition(*group_keys)
+        .sortWithinPartitions(*group_keys)
+    )
+    key_cols = list(group_keys)
+
+    def segment_scan(batches):
+        # numpy-native: each Arrow batch converts to flat arrays ONCE and
+        # the group loop runs on array slices — no per-group pandas frames
+        # (a pandas-sliced variant measured no better than the cogroup it
+        # replaced; the per-group toll had just moved into .iloc)
         import numpy as np
         import pandas as pd
 
-        if len(qpdf) == 0 or len(cpdf) == 0:
-            return pd.DataFrame(
-                {"qid": [], "neighbor_id": [], "score": []}
+        def arrays_of(pdf):
+            keys = np.stack(
+                [pdf[c].to_numpy(dtype=np.int64) for c in key_cols], axis=1
             )
-        C = np.stack([np.asarray(v, dtype=np.int64) for v in cpdf["nvec"]])
-        nid = cpdf["neighbor_id"].values
-        perm0 = np.argsort(nid, kind="stable")  # tie-break order, computed once
-        C = C[perm0]
-        nid = nid[perm0]
-        n2c = (C * C).sum(axis=1).astype(np.float64)
-        top = min(k, len(nid))
-        out = []
-        for lo in range(0, len(qpdf), 4096):
-            sub_q = qpdf.iloc[lo : lo + 4096]
-            Q = np.stack([np.asarray(v, dtype=np.int64) for v in sub_q["qvec"]])
-            q2 = (Q * Q).sum(axis=1).astype(np.float64)
-            dots = (Q @ C.T).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = np.where(
-                    (q2[:, None] > 0) & (n2c[None, :] > 0),
-                    dots / (np.sqrt(q2)[:, None] * np.sqrt(n2c)[None, :]),
-                    0.0,
+            vec = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["vec"]]
+            ) if len(pdf) else np.empty((0, dim), dtype=np.int64)
+            return (
+                keys,
+                pdf["is_q"].to_numpy(dtype=bool),
+                pdf["qid"].to_numpy(),
+                pdf["neighbor_id"].to_numpy(),
+                vec,
+            )
+
+        out_q, out_n, out_s = [], [], []
+
+        def emit(keys, isq, qids, nids, V, s, e):
+            m = isq[s:e]
+            if m.all() or not m.any():
+                return  # query-only or corpus-only run: no candidates
+            rel = np.nonzero(~m)[0] + s
+            C = V[rel]
+            nid = nids[rel]
+            perm0 = np.argsort(nid, kind="stable")  # tie-break order
+            C = C[perm0]
+            nid = nid[perm0]
+            n2c = (C * C).sum(axis=1).astype(np.float64)
+            top = min(k, len(nid))
+            qrel = np.nonzero(m)[0] + s
+            for lo in range(0, len(qrel), 4096):
+                sel = qrel[lo : lo + 4096]
+                Q = V[sel]
+                q2 = (Q * Q).sum(axis=1).astype(np.float64)
+                dots = (Q @ C.T).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(
+                        (q2[:, None] > 0) & (n2c[None, :] > 0),
+                        dots / (np.sqrt(q2)[:, None] * np.sqrt(n2c)[None, :]),
+                        0.0,
+                    )
+                # rowwise lexsort(primary -score, secondary neighbor_id):
+                # columns are in nid order, so one stable argsort on
+                # -score preserves the id tie-break
+                order = np.argsort(-S, axis=1, kind="stable")[:, :top]
+                rows = np.arange(S.shape[0])[:, None]
+                out_q.append(np.repeat(qids[sel], top))
+                out_n.append(nid[order].reshape(-1))
+                out_s.append(S[rows, order].reshape(-1))
+
+        carry = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = arrays_of(pdf)
+            if carry is not None:
+                arrs = tuple(
+                    np.concatenate([c, a]) for c, a in zip(carry, arrs)
                 )
-            # rowwise lexsort(primary -score, secondary neighbor_id):
-            # columns are already in nid order, so one stable argsort on
-            # -score preserves the id tie-break
-            order = np.argsort(-S, axis=1, kind="stable")[:, :top]
-            rows = np.arange(S.shape[0])[:, None]
-            out.append(
-                pd.DataFrame(
+                carry = None
+            keys, isq, qids, nids, V = arrs
+            new_grp = np.ones(len(keys), dtype=bool)
+            new_grp[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+            starts = np.nonzero(new_grp)[0]
+            # the last run may continue into the next batch — carry it
+            carry = tuple(a[starts[-1] :] for a in arrs)
+            for i in range(len(starts) - 1):
+                emit(keys, isq, qids, nids, V, starts[i], starts[i + 1])
+            if out_q:
+                yield pd.DataFrame(
                     {
-                        "qid": np.repeat(sub_q["qid"].values, top),
-                        "neighbor_id": nid[order].reshape(-1),
-                        "score": S[rows, order].reshape(-1),
+                        "qid": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "score": np.concatenate(out_s),
                     }
                 )
+                out_q.clear(), out_n.clear(), out_s.clear()
+        if carry is not None and len(carry[0]):
+            keys, isq, qids, nids, V = carry
+            emit(keys, isq, qids, nids, V, 0, len(keys))
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
             )
-        return pd.concat(out, ignore_index=True)
 
-    partial = (
-        qside.select(*group_keys, "qid", "qvec")
-        .groupBy(*group_keys)
-        .cogroup(
-            corpus.select(*group_keys, "neighbor_id", "nvec").groupBy(*group_keys)
-        )
-        .applyInPandas(
-            group_topk, f"qid {qid_type}, neighbor_id {id_type}, score double"
-        )
+    partial = tagged.mapInPandas(
+        segment_scan, f"qid {qid_type}, neighbor_id {id_type}, score double"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -137,6 +137,26 @@ def test_connected_components_vs_union_find(spark):
         assert got.get(k, k) == want[k], k
 
 
+def test_add_if_unique_driver_greedy_matches_loop(spark, corpus):
+    """Round 6: the small-edge-set driver-side greedy must reproduce the
+    distributed frontier loop bit-for-bit (same DAG recursion, different
+    evaluation engines)."""
+    from rensa_spark.operators.dedup import add_if_unique
+
+    df = spark.createDataFrame(corpus[["image_id", "caption"]])
+    greedy = {
+        r["key"]: r["kept"]
+        for r in add_if_unique(df, CFG, "image_id", "caption").collect()
+    }
+    loop = {
+        r["key"]: r["kept"]
+        for r in add_if_unique(
+            df, CFG, "image_id", "caption", driver_max_edges=0
+        ).collect()
+    }
+    assert greedy == loop
+
+
 def test_add_if_unique_matches_sequential_oracle(spark, corpus):
     from rensa_spark.operators.dedup import add_if_unique
 

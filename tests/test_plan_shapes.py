@@ -102,16 +102,18 @@ def test_ann_bucket_join_self_join_single_crossing(spark):
         )
     )
     assert len(re.findall(r"\) ArrowEvalPython", plan)) == 0
-    assert len(re.findall(r"\) FlatMapCoGroupsInPandas", plan)) == 1
+    assert len(re.findall(r"\) MapInPandas", plan)) == 1  # the segment scan
 
 
 def test_ann_bucket_join_scores_in_cogroup_not_per_pair(spark):
-    """bucketed_topk_join (round-5): scoring happens inside ONE cogrouped
-    applyInPandas — the candidate set must never materialize as join rows
-    with a per-pair score expression (measured ~3 us/candidate however the
-    expression is written). The plan shows the FlatMapCoGroupsInPandas
-    node, and no SortMergeJoin/ShuffledHashJoin sits ABOVE it (the only
-    joins allowed are the tiny bucket-size joins feeding it)."""
+    """bucketed_topk_join: scoring happens inside ONE group-segment
+    mapInPandas scan (round 6 — same per-(bucket, sub) matmul the round-5
+    cogroup ran, minus its per-group Arrow/Python toll) — the candidate
+    set must never materialize as join rows with a per-pair score
+    expression (measured ~3 us/candidate however the expression is
+    written). The plan shows the MapInPandas node, and no SortMergeJoin/
+    ShuffledHashJoin sits ABOVE it (the only joins allowed are the tiny
+    bucket-size joins feeding it)."""
     from rensa_spark.operators.similarity import bucketed_topk_join
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -121,8 +123,8 @@ def test_ann_bucket_join_scores_in_cogroup_not_per_pair(spark):
             k=3, n_planes=4, dim=64, broadcast_max_rows=0,
         )
     )
-    assert len(re.findall(r"\) FlatMapCoGroupsInPandas", plan)) == 1
-    cogroup_pos = plan.index("FlatMapCoGroupsInPandas")
+    assert len(re.findall(r"\) MapInPandas", plan)) == 1
+    cogroup_pos = plan.index("MapInPandas")
     above = plan[:cogroup_pos]
     # the section of the formatted tree printed above the cogroup node is
     # the post-scoring pipeline (window/rank/sort) — no join may reappear
