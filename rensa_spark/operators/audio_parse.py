@@ -93,7 +93,7 @@ def _mp3_frame_walk(data: bytes, max_frames: int | None = None) -> dict:
     if data[:3] == b"ID3" and len(data) >= 10:
         sz = data[6:10]
         pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
-    offsets, sizes, durs, brs = [], [], [], []
+    offsets, sizes, durs, brs, srs = [], [], [], [], []
     while pos + 4 <= len(data):
         b0, b1, b2, _b3 = data[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -122,17 +122,33 @@ def _mp3_frame_walk(data: bytes, max_frames: int | None = None) -> dict:
         sizes.append(size)
         durs.append(spf / sr)
         brs.append(kbps)
+        srs.append(sr)
         pos += size
         if max_frames is not None and len(offsets) >= max_frames:
             break
     if not offsets:
         raise ValueError("no MPEG audio frames found")
+    # DOMINANT rate, not the last parsed frame's (round-5 advice: a mixed
+    # stream used to report an arbitrary rate with no signal) — ties go to
+    # the first-seen rate; mixing is flagged explicitly
+    sr_arr = np.array(srs, dtype=np.int64)
+    uniq, counts = np.unique(sr_arr, return_counts=True)
+    if len(uniq) == 1:
+        dominant = int(uniq[0])
+    else:
+        best = counts.max()
+        first_pos = {int(u): int(np.argmax(sr_arr == u)) for u in uniq}
+        dominant = int(
+            min((u for u, c in zip(uniq, counts) if c == best),
+                key=lambda u: first_pos[int(u)])
+        )
     return {
         "offset": np.array(offsets, dtype=np.int64),
         "size": np.array(sizes, dtype=np.int64),
         "duration_s": np.array(durs, dtype=np.float64),
         "n_frames": len(offsets),
-        "sample_rate": sr,
+        "sample_rate": dominant,
+        "mixed_sample_rate": bool(len(uniq) > 1),
         "duration_total_s": float(sum(durs)),
         "mean_kbps": float(np.mean(brs)),
     }

@@ -147,8 +147,17 @@ def _mp4_sample_table(data: bytes) -> dict:
     ).astype(np.int64).reshape(-1, 3)  # (first_chunk 1-based, per_chunk, _)
 
     # expand sample->chunk runs into a per-sample chunk index + intra-chunk
-    # position, then per-sample offsets from the chunk offsets + sizes
-    per_chunk = np.empty(n_chunks, dtype=np.int64)
+    # position, then per-sample offsets from the chunk offsets + sizes.
+    # zeros (not empty) + run validation: a malformed stsc whose runs skip
+    # chunk 1, go non-monotonic, or point past the chunk table would leave
+    # garbage counts feeding np.repeat (round-5 advice) — raise the typed
+    # error the parser contract promises instead
+    if n_runs == 0 or runs[0, 0] != 1 or np.any(np.diff(runs[:, 0]) <= 0) or runs[-1, 0] > n_chunks:
+        raise ValueError(
+            "malformed stsc: first_chunk must start at 1, strictly "
+            "increase, and stay within the chunk table"
+        )
+    per_chunk = np.zeros(n_chunks, dtype=np.int64)
     for i in range(len(runs)):
         first = runs[i, 0] - 1
         last = (runs[i + 1, 0] - 1) if i + 1 < len(runs) else n_chunks

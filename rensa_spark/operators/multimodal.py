@@ -486,7 +486,11 @@ def audio_stream_info(
                            info["duration_total_s"], info["n_frames"])
                 elif fmt == "wav":
                     sr, samples = decode_wav(data)
-                    row = (sr, 1, len(samples) / sr, len(samples))
+                    # real channel count from the fmt chunk (round-5
+                    # advice: decode_wav downmixes, so its output is mono
+                    # but the STREAM metadata must report the source)
+                    row = (sr, _wav_channels(data), len(samples) / sr,
+                           len(samples))
                 else:
                     raise NotImplementedError(
                         f"stream-info parsing for fmt={fmt!r} not supported"
@@ -507,6 +511,19 @@ def audio_stream_info(
             )
 
     return df.select(key_col, bytes_col, fmt_col).mapInPandas(gen, schema)
+
+
+def _wav_channels(data: bytes) -> int:
+    """Channel count from the RIFF fmt chunk (metadata only — decode_wav
+    downmixes to mono but stream info must report the source layout)."""
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"fmt ":
+            return int(struct.unpack_from("<H", data, pos + 10)[0])
+        pos += 8 + clen + (clen & 1)
+    return 1  # unreachable after a successful decode_wav (fmt required)
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:

@@ -57,18 +57,33 @@ class StreamingDeduplicator:
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch hook: decides kept/dup for the batch, appends the
         batch's kept rows to state, and appends decisions to `decisions`."""
-        from rensa_spark.functions.udfs import jaccard_udf, rminhash_sig_udf
+        from rensa_spark.functions.udfs import jaccard_udf, rminhash_sig_bands_udf
         from rensa_spark.operators.dedup import add_if_unique
-        from rensa_spark.operators.sketch import rminhash_band_rows
 
         cfg = self.cfg
         src = batch_df.select(
             F.col(self.key_col).alias("key"), F.col(self.text_col).alias("text")
         ).localCheckpoint(eager=True)
 
-        sig_udf = rminhash_sig_udf(cfg)
-        sigs = src.withColumn("sig", sig_udf("text")).select("key", "sig")
-        bands = rminhash_band_rows(src, cfg, "key", "text")
+        # ONE fused sketch pass (round 6): the separate sig UDF +
+        # band-row UDF each re-ran the full shingle+MinHash per batch row;
+        # sig and band hashes are one computation, and the checkpoint
+        # feeds all four consumers (state probe + within-batch + both
+        # state appends) without re-crossing Python
+        sb = rminhash_sig_bands_udf(cfg)
+        sk = (
+            src.withColumn("_sb", sb("text"))
+            .select(
+                "key",
+                F.col("_sb.sig").alias("sig"),
+                F.col("_sb.bands").alias("bands"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sigs = sk.select("key", "sig")
+        bands = sk.select(
+            "key", F.posexplode("bands").alias("band_idx", "band_hash")
+        )
 
         # 1) duplicates against the existing kept state (LSH candidates ->
         #    jaccard verify), matching is_duplicate(key, mh) semantics
